@@ -1,0 +1,143 @@
+"""Benchmark harness: flagship FM k=16 sparse training throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": R}
+
+The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
+is measured live against a single-thread NumPy implementation of the
+identical train step (gather -> FM forward/backward -> per-key aggregate
+-> FTRL/AdaGrad update) — the honest stand-in for the reference's
+CPU-per-core compute path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 16384
+NNZ = 40          # Criteo-Kaggle has 39 features/row
+NUM_BITS = 24     # 16.7M-row table
+K = 16
+WARMUP = 5
+STEPS = 30
+NP_STEPS = 3
+
+
+def make_batches(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        # Zipf-ish ids emulate Criteo's power-law key distribution
+        z = rng.zipf(1.2, size=(BATCH, NNZ)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            ids = ((z * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(1 << NUM_BITS)).astype(
+                np.int32
+            )
+        vals = np.ones((BATCH, NNZ), np.float32)
+        labels = (rng.random(BATCH) > 0.5).astype(np.float32)
+        mask = np.ones(BATCH, np.float32)
+        out.append((ids, vals, labels, mask))
+    return out
+
+
+def bench_tpu() -> float:
+    import jax
+
+    from difacto_tpu.config import Config
+    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.updaters.updater import FMUpdater
+
+    cfg = Config.from_kwargs(
+        [
+            ("batch_size", str(BATCH)),
+            ("num_bits", str(NUM_BITS)),
+            ("max_nnz_per_row", str(NNZ)),
+            ("V_dim", str(K)),
+        ]
+    )
+    upd = FMUpdater(cfg.model)
+    store = LocalStore(upd, cfg)
+    state = store.init_state(0)
+    batches = [tuple(map(jax.device_put, b)) for b in make_batches(8)]
+    for i in range(WARMUP):
+        state, m = store.train_step(state, *batches[i % len(batches)])
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, m = store.train_step(state, *batches[i % len(batches)])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_numpy() -> float:
+    """Same math, single-thread NumPy (the CPU-reference stand-in)."""
+    rng = np.random.default_rng(0)
+    N = 1 << NUM_BITS
+    w = np.zeros(N, np.float32)
+    z = np.zeros(N, np.float32)
+    n = np.zeros(N, np.float32)
+    V = (rng.random((N, K), np.float32) - 0.5) * 0.02
+    nV = np.zeros((N, K), np.float32)
+    eta, beta, l1, l2 = 0.01, 1.0, 1.0, 0.1
+
+    batches = make_batches(2, seed=1)
+    t0 = time.perf_counter()
+    for s in range(NP_STEPS):
+        ids, vals, labels, mask = batches[s % 2]
+        flat = ids.reshape(-1)
+        uids, inv = np.unique(np.where(flat < 0, N, flat), return_inverse=True)
+        U = len(uids)
+        uc = np.minimum(uids, N - 1)
+        Wg = w[uc][inv].reshape(BATCH, NNZ)
+        Vg = V[uc][inv].reshape(BATCH, NNZ, K)
+        lin = (vals * Wg).sum(-1)
+        xv = vals[..., None] * Vg
+        S = xv.sum(1)
+        Q = (xv * xv).sum(1)
+        py = lin + 0.5 * (S * S - Q).sum(-1)
+        d = (1 / (1 + np.exp(-py)) - labels) * mask
+        dW = (vals * d[:, None]).reshape(-1)
+        dV = (d[:, None, None] * vals[:, :, None] * (S[:, None, :] - xv)).reshape(-1, K)
+        gu = np.zeros(U, np.float32)
+        np.add.at(gu, inv, dW)
+        gVu = np.zeros((U, K), np.float32)
+        np.add.at(gVu, inv, dV)
+        # FTRL on w
+        n_new = n[uc] + gu * gu
+        sigma = (np.sqrt(n_new) - np.sqrt(n[uc])) / eta
+        z_new = z[uc] + gu - sigma * w[uc]
+        w_new = np.where(
+            np.abs(z_new) <= l1,
+            0.0,
+            -(z_new - np.sign(z_new) * l1) / ((beta + np.sqrt(n_new)) / eta + l2),
+        )
+        w[uc], z[uc], n[uc] = w_new, z_new, n_new
+        # AdaGrad on V
+        nV_new = nV[uc] + gVu * gVu
+        V[uc] = V[uc] - 0.01 * gVu / (np.sqrt(nV_new) + 1.0)
+        nV[uc] = nV_new
+    dt = time.perf_counter() - t0
+    return BATCH * NP_STEPS / dt
+
+
+def main():
+    eps_np = bench_numpy()
+    eps_tpu = bench_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "fm_k16_train_examples_per_sec",
+                "value": round(eps_tpu, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(eps_tpu / eps_np, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

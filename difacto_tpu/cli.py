@@ -1,0 +1,71 @@
+"""CLI entry point.
+
+Counterpart of the reference's ``src/difacto.cc`` :: main — a config file
+of ``key = val`` lines plus CLI ``key=val`` overrides, dispatched to a
+learner. The reference picks its role (scheduler/server/worker) from
+ps-lite env vars; under SPMD there are no roles — one program, one entry:
+
+    python -m difacto_tpu [config.conf] [key=val ...]
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from .config import Config
+from .utils import arg_parser
+
+
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS / DIFACTO_NUM_CPU_DEVICES even when a TPU
+    plugin ignores the env var (observed with the axon plugin): re-apply
+    them programmatically before any device use."""
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    ndev = os.environ.get("DIFACTO_NUM_CPU_DEVICES")
+    if ndev:
+        jax.config.update("jax_num_cpu_devices", int(ndev))
+
+
+def create_learner(cfg: Config):
+    """Learner::Create (reference: src/learner.cc factory)."""
+    if cfg.learner.learner == "sgd":
+        from .learners.sgd import SGDLearner
+
+        return SGDLearner(cfg)
+    if cfg.learner.learner == "bcd":
+        from .learners.bcd import BCDLearner
+
+        return BCDLearner(cfg)
+    raise ValueError(f"unknown learner {cfg.learner.learner!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s] %(message)s",
+        datefmt="%H:%M:%S",
+    )
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print(Config())
+        return 0
+    _apply_platform_env()
+    kwargs = arg_parser.parse(argv)
+    cfg = Config.from_kwargs(kwargs)
+    if not cfg.data.data_in:
+        raise SystemExit("data_in is required")
+    learner = create_learner(cfg)
+    learner.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

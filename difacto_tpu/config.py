@@ -1,0 +1,154 @@
+"""Typed configuration.
+
+TPU-native counterpart of the reference's dmlc::Parameter structs
+(``src/sgd/sgd_param.h`` :: SGDLearnerParam / SGDUpdaterParam,
+``src/bcd/bcd_param.h``) plus the ``key = val`` config-file convention of
+``src/common/arg_parser.h``. Field names mirror the reference so its
+configs translate 1:1; TPU-specific knobs (hash bits, padding, mesh) are
+additions with no reference counterpart.
+
+Each dataclass consumes the keys it knows from a kwargs list and returns
+the leftovers, mirroring difacto's hierarchical ``Init(kwargs)`` protocol
+(unknown keys at top level are fatal, as in ``src/difacto.cc``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+from .base import KWArgs
+
+
+def _coerce(val: str, typ: Any) -> Any:
+    if typ is bool:
+        return val.lower() in ("1", "true", "yes", "on")
+    if typ is int:
+        return int(val)
+    if typ is float:
+        return float(val)
+    return val
+
+
+@dataclass
+class ParamBase:
+    """dmlc::Parameter-style: init from kwargs, return unconsumed pairs."""
+
+    def init(self, kwargs: KWArgs) -> KWArgs:
+        names = {f.name: f for f in dataclasses.fields(self)}
+        rest: KWArgs = []
+        for k, v in kwargs:
+            f = names.get(k)
+            if f is None:
+                rest.append((k, v))
+                continue
+            setattr(self, k, _coerce(v, _resolve_type(f)))
+        self.validate()
+        return rest
+
+    def validate(self) -> None:  # range checks, like DMLC_DECLARE_FIELD().set_range
+        pass
+
+
+def _resolve_type(f: dataclasses.Field) -> type:
+    t = f.type
+    if isinstance(t, type):
+        return t
+    # dataclass stores annotations as strings under `from __future__ import annotations`
+    return {"int": int, "float": float, "str": str, "bool": bool}.get(str(t), str)
+
+
+@dataclass
+class DataParam(ParamBase):
+    """Data pipeline knobs (reference: the data_* fields of SGDLearnerParam
+    plus our static-shape padding policy, which replaces difacto's dynamic
+    ``RowBlock`` minibatches)."""
+
+    data_in: str = ""              # training data URI (file, dir, or glob)
+    data_val: str = ""             # validation data URI
+    data_format: str = "libsvm"    # libsvm | csr (our pre-converted binary)
+    batch_size: int = 8192         # examples per device step (global batch)
+    shuffle: bool = True           # shuffle batches within a file part
+    num_parts_per_file: int = 1    # split each file into N parts (InputSplit)
+    max_nnz_per_row: int = 64      # pad/truncate each example to this nnz
+    num_bits: int = 22             # hashed feature space = 2**num_bits rows
+    seed: int = 0
+
+    def validate(self) -> None:
+        assert self.batch_size > 0
+        assert 1 <= self.num_bits <= 31
+        assert self.max_nnz_per_row > 0
+
+
+@dataclass
+class FMParam(ParamBase):
+    """Model + optimizer knobs (reference: SGDUpdaterParam)."""
+
+    # linear term w: FTRL-proximal (reference defaults)
+    lr_eta: float = 0.01           # FTRL eta
+    lr_beta: float = 1.0           # FTRL beta
+    l1: float = 1.0                # L1 on w (drives exact sparsity)
+    l2: float = 0.1                # L2 on w
+    w_updater: str = "ftrl"        # ftrl | adagrad | sgd
+
+    # latent factors V: AdaGrad, frequency-adaptive activation
+    V_dim: int = 0                 # k; 0 = sparse logistic regression
+    V_lr_eta: float = 0.01
+    V_lr_beta: float = 1.0         # AdaGrad epsilon-ish damping
+    V_l2: float = 0.0001
+    V_init_scale: float = 0.01     # V ~ uniform(-scale, +scale)
+    V_threshold: int = 2           # min feature count before V activates
+    V_updater: str = "adagrad"     # adagrad | sgd
+
+    tail_feature_filter: int = 0   # drop features with count < this (count pass)
+
+    def validate(self) -> None:
+        assert self.V_dim >= 0
+        assert self.w_updater in ("ftrl", "adagrad", "sgd")
+        assert self.V_updater in ("adagrad", "sgd")
+
+
+@dataclass
+class LearnerParam(ParamBase):
+    """Trainer driver knobs (reference: SGDLearnerParam)."""
+
+    learner: str = "sgd"           # sgd | bcd
+    loss: str = "fm"               # fm | logit | ffm
+    max_num_epochs: int = 1
+    model_out: str = ""            # checkpoint path prefix
+    model_in: str = ""             # warm-start checkpoint
+    report_interval: int = 100     # steps between progress reports
+    save_interval_epochs: int = 1
+
+    def validate(self) -> None:
+        assert self.learner in ("sgd", "bcd")
+
+
+@dataclass
+class ShardParam(ParamBase):
+    """Parallelism knobs (no reference counterpart: replaces the implicit
+    DMLC_NUM_WORKERS/DMLC_NUM_SERVERS topology of ps-lite)."""
+
+    store: str = "auto"            # local | sharded | auto (sharded if >1 device)
+    num_shards: int = 0            # 0 = all visible devices
+    capacity_factor: float = 2.0   # all_to_all slot slack vs perfect balance
+    unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
+
+
+@dataclass
+class Config:
+    data: DataParam = field(default_factory=DataParam)
+    model: FMParam = field(default_factory=FMParam)
+    learner: LearnerParam = field(default_factory=LearnerParam)
+    shard: ShardParam = field(default_factory=ShardParam)
+
+    @classmethod
+    def from_kwargs(cls, kwargs: KWArgs) -> "Config":
+        cfg = cls()
+        rest = kwargs
+        for sub in (cfg.data, cfg.model, cfg.learner, cfg.shard):
+            rest = sub.init(rest)
+        if rest:
+            raise ValueError(f"unknown config keys: {[k for k, _ in rest]}")
+        return cfg

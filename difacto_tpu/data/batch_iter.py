@@ -1,0 +1,165 @@
+"""Static-shape minibatch stream.
+
+Counterpart of the reference's ``src/data/batch_iter.h`` :: BatchIter
+(re-chunk a parser stream into exact-batch_size RowBlocks, optional
+shuffle) — redesigned for XLA: every batch has identical static shapes
+(``[B, L]`` padded CSR) so the train step compiles once.
+
+Padding policy (replaces difacto's variable-length RowBlock):
+  * each example is padded/truncated to ``max_nnz_per_row`` features;
+  * ids are hashed into ``[0, 2**num_bits)`` here on the host
+    (reference: users pre-hash; ps-lite shards raw key ranges);
+  * padding slots carry id = -1 and value = 0;
+  * a short final batch is padded with rows of mask = 0.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..base import hash_ids
+from .libsvm import RowBlock, iter_file_chunks, parse_libsvm
+
+PAD_ID = -1
+
+
+@dataclass
+class Batch:
+    """One device-ready minibatch (all arrays static-shape)."""
+
+    ids: np.ndarray      # i32 [B, L], hashed; PAD_ID for padding slots
+    vals: np.ndarray     # f32 [B, L]; 0 for padding slots
+    labels: np.ndarray   # f32 [B] in {0, 1}
+    mask: np.ndarray     # f32 [B]; 1 = real row, 0 = padding row
+
+    @property
+    def batch_size(self) -> int:
+        return self.ids.shape[0]
+
+    @property
+    def num_examples(self) -> int:
+        return int(self.mask.sum())
+
+
+def expand_uri(uri: str) -> list[str]:
+    """A data URI may be a file, a directory, or a glob (reference:
+    dmlc InputSplit accepts the same forms)."""
+    if os.path.isdir(uri):
+        return sorted(
+            os.path.join(uri, f) for f in os.listdir(uri)
+            if not f.startswith(".")
+        )
+    hits = sorted(_glob.glob(uri))
+    if not hits:
+        raise FileNotFoundError(f"no data files match {uri!r}")
+    return hits
+
+
+def rowblock_to_batches(
+    blk: RowBlock,
+    batch_size: int,
+    max_nnz: int,
+    num_bits: int,
+    shuffle: bool = False,
+    rng: np.random.Generator | None = None,
+    drop_remainder: bool = False,
+) -> Iterator[Batch]:
+    """Pad a CSR RowBlock into fixed [B, L] batches."""
+    n = blk.num_rows
+    if n == 0:
+        return
+    order = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    hashed = hash_ids(blk.indices, num_bits)
+    lens = np.minimum(np.diff(blk.indptr), max_nnz).astype(np.int64)
+    for lo in range(0, n, batch_size):
+        rows = order[lo : lo + batch_size]
+        b = len(rows)
+        if b < batch_size and drop_remainder:
+            return
+        ids = np.full((batch_size, max_nnz), PAD_ID, np.int32)
+        vals = np.zeros((batch_size, max_nnz), np.float32)
+        labels = np.zeros(batch_size, np.float32)
+        mask = np.zeros(batch_size, np.float32)
+        # gather positions: row r contributes indptr[r] .. indptr[r]+lens[r]
+        L = lens[rows]
+        tot = int(L.sum())
+        if tot:
+            row_of = np.repeat(np.arange(b), L)
+            within = np.arange(tot) - np.repeat(np.concatenate([[0], np.cumsum(L)[:-1]]), L)
+            src = blk.indptr[rows][row_of] + within
+            ids[row_of, within] = hashed[src]
+            vals[row_of, within] = blk.values[src]
+        labels[:b] = (blk.labels[rows] > 0).astype(np.float32)
+        mask[:b] = 1.0
+        yield Batch(ids, vals, labels, mask)
+
+
+class BatchIter:
+    """Stream batches from libsvm/binary files.
+
+    Reference: BatchIter + ChunkIter + dmlc::InputSplit. ``part_index`` /
+    ``num_parts`` select a disjoint byte-range shard of every file, which
+    is how data parallelism splits input across hosts.
+    """
+
+    def __init__(
+        self,
+        uri: str | Sequence[str],
+        batch_size: int,
+        max_nnz: int,
+        num_bits: int,
+        data_format: str = "libsvm",
+        part_index: int = 0,
+        num_parts: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        chunk_bytes: int = 64 << 20,
+        drop_remainder: bool = False,
+    ):
+        self.files = expand_uri(uri) if isinstance(uri, str) else list(uri)
+        self.batch_size = batch_size
+        self.max_nnz = max_nnz
+        self.num_bits = num_bits
+        self.data_format = data_format
+        self.part_index = part_index
+        self.num_parts = num_parts
+        self.shuffle = shuffle
+        self.seed = seed
+        self.chunk_bytes = chunk_bytes
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        for path in self.files:
+            for blk in self._blocks(path):
+                yield from rowblock_to_batches(
+                    blk,
+                    self.batch_size,
+                    self.max_nnz,
+                    self.num_bits,
+                    shuffle=self.shuffle,
+                    rng=rng,
+                    drop_remainder=self.drop_remainder,
+                )
+
+    def _blocks(self, path: str) -> Iterator[RowBlock]:
+        if self.data_format == "libsvm":
+            for chunk in iter_file_chunks(
+                path, self.chunk_bytes, self.part_index, self.num_parts
+            ):
+                yield parse_libsvm(chunk)
+        elif self.data_format == "csr":
+            from .converter import load_csr_shard
+
+            yield load_csr_shard(path, self.part_index, self.num_parts)
+        else:
+            raise ValueError(f"unknown data_format {self.data_format!r}")

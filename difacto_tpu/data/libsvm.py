@@ -1,0 +1,125 @@
+"""libsvm text parsing into CSR arrays.
+
+Counterpart of the reference's dmlc-core ``libsvm_parser.h`` :: LibSVMParser
+and ``dmlc/data.h`` :: RowBlock. Output is a plain CSR quadruple
+(labels, indptr, indices(uint64 raw ids), values) — the host-side analog of
+RowBlock — which the batch iterator hashes and pads into static device
+shapes.
+
+Two engines:
+* a vectorized NumPy engine (always available), and
+* a multithreaded C++ engine (``csrc/libsvm_parser.cpp`` via ctypes),
+  used automatically when the shared library has been built
+  (``python -m difacto_tpu.data.build_ext``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclass
+class RowBlock:
+    """Host CSR block (reference: dmlc::RowBlock<feaid_t>)."""
+
+    labels: np.ndarray   # f32 [n]  (raw labels as in file; 0/1 or -1/+1)
+    indptr: np.ndarray   # i64 [n+1]
+    indices: np.ndarray  # u64 [nnz] raw feature ids
+    values: np.ndarray   # f32 [nnz]
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.labels)
+
+    @property
+    def nnz(self) -> int:
+        return len(self.indices)
+
+
+def parse_libsvm_numpy(data: bytes) -> RowBlock:
+    """Vectorized libsvm parse. Supports 'label i:v i:v ...' lines; ignores
+    blank lines and '#' comments. Bare indices ('i' without ':v') are not
+    supported (the reference's parser treats them as value 1.0 — our C++
+    engine does too; the numpy engine requires explicit values)."""
+    lines = [ln for ln in data.splitlines() if ln and not ln.lstrip().startswith(b"#")]
+    if not lines:
+        return RowBlock(
+            np.zeros(0, np.float32),
+            np.zeros(1, np.int64),
+            np.zeros(0, np.uint64),
+            np.zeros(0, np.float32),
+        )
+    buf = b"\n".join(lines) + b"\n"
+    arr = np.frombuffer(buf, np.uint8)
+    nl = np.flatnonzero(arr == 0x0A)
+    colons = np.flatnonzero(arr == 0x3A)
+    nnz = np.bincount(np.searchsorted(nl, colons, side="right"), minlength=len(nl)).astype(
+        np.int64
+    )
+    tokens = np.array(buf.replace(b":", b" ").split())
+    tok_per_line = 1 + 2 * nnz
+    starts = np.concatenate([[0], np.cumsum(tok_per_line)[:-1]])
+    if tokens.size != int(tok_per_line.sum()):
+        raise ValueError(
+            "malformed libsvm input (token count mismatch — bare indices or "
+            "qid fields are not supported by the numpy engine)"
+        )
+    labels = tokens[starts].astype(np.float32)
+    total = int(nnz.sum())
+    row_start_nnz = np.concatenate([[0], np.cumsum(nnz)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(row_start_nnz, nnz)
+    pos = np.repeat(starts, nnz) + 1 + 2 * within
+    indices = tokens[pos].astype(np.uint64)
+    values = tokens[pos + 1].astype(np.float32)
+    indptr = np.concatenate([[0], np.cumsum(nnz)]).astype(np.int64)
+    return RowBlock(labels, indptr, indices, values)
+
+
+def parse_libsvm(data: bytes) -> RowBlock:
+    """Parse with the C++ engine if built, else numpy."""
+    from . import _native
+
+    if _native.available():
+        return _native.parse_libsvm(data)
+    return parse_libsvm_numpy(data)
+
+
+def iter_file_chunks(
+    path: str, chunk_bytes: int = 64 << 20, part_index: int = 0, num_parts: int = 1
+) -> Iterator[bytes]:
+    """Stream a text file in line-aligned chunks, optionally reading only
+    the part_index-th of num_parts byte ranges (record-aligned at newline
+    boundaries). Counterpart of dmlc ``InputSplit`` + ``ChunkIter``:
+    this is how each worker/job reads a disjoint shard of a file."""
+    import os
+
+    size = os.path.getsize(path)
+    lo = size * part_index // num_parts
+    hi = size * (part_index + 1) // num_parts
+    with open(path, "rb") as f:
+        # advance lo to the next line start (unless at file start)
+        if lo > 0:
+            f.seek(lo - 1)
+            f.readline()
+            lo = f.tell()
+        pos = lo
+        carry = b""
+        while pos < hi:
+            n = min(chunk_bytes, hi - pos)
+            block = f.read(n)
+            pos += len(block)
+            if pos >= hi:
+                # finish the final line even if it crosses hi
+                block += f.readline()
+                pos = f.tell()
+            cut = block.rfind(b"\n")
+            if cut < 0:
+                carry += block
+                continue
+            yield carry + block[: cut + 1]
+            carry = block[cut + 1 :]
+        if carry.strip():
+            yield carry

@@ -1,0 +1,187 @@
+"""Synchronous minibatch SGD learner.
+
+Counterpart of the reference's ``src/sgd/sgd_learner.h`` :: SGDLearner.
+Structural redesign (SURVEY.md §2.3, BASELINE.json north star): the
+reference's scheduler/worker/server process group with asynchronous
+bounded-delay minibatches becomes a single SPMD program — the scheduler's
+job queue is program order, the bounded-staleness pipeline is host-side
+prefetch overlapping device steps (staleness 0), and the per-batch
+Pull -> Predict/CalcGrad -> Push worker loop is one jitted train step.
+
+Per-epoch flow mirrors RunScheduler/RunEpoch: optional feature-count pass
+(tail_feature_filter), train pass over data_in, validation pass over
+data_val (pull + predict only, no push), epoch-end callbacks, model save.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.batch_iter import Batch, BatchIter
+from ..ops.metrics import exact_auc
+from ..parallel.store import make_store
+from ..updaters.updater import FMUpdater
+from ..utils import checkpoint
+from ..utils.prefetch import ThreadedIter
+from ..utils.progress import Progress, Reporter
+
+log = logging.getLogger("difacto_tpu")
+
+# cap on host-collected (py, label) pairs for exact validation AUC;
+# beyond this the streaming binned AUC (already additive) is reported.
+_EXACT_AUC_CAP = 4 << 20
+
+
+@jax.jit
+def _merge_metrics(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+class SGDLearner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.updater = FMUpdater(cfg.model)
+        self.store = make_store(self.updater, cfg)
+        self.reporter = Reporter(cfg.learner.report_interval)
+        self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
+        self._epoch = 0
+        if cfg.learner.model_in:
+            host_state, meta = checkpoint.load(cfg.learner.model_in)
+            self.state = self.store.place_state(host_state)
+            self._epoch = int(meta.get("epoch", 0))
+            log.info("loaded model from %s (epoch %d)", cfg.learner.model_in, self._epoch)
+        else:
+            self.state = self.store.init_state(cfg.data.seed)
+
+    # -- data ---------------------------------------------------------------
+
+    def _iter(self, uri: str, shuffle: bool) -> ThreadedIter[Batch]:
+        d = self.cfg.data
+        it = BatchIter(
+            uri,
+            batch_size=d.batch_size,
+            max_nnz=d.max_nnz_per_row,
+            num_bits=d.num_bits,
+            data_format=d.data_format,
+            num_parts=1,
+            shuffle=shuffle and d.shuffle,
+            seed=d.seed,
+        )
+        return ThreadedIter(iter(it), depth=4)
+
+    # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------
+
+    def count_pass(self) -> None:
+        """Feature-frequency pass before training (reference: the
+        kFeaCount push pass enabling tail_feature_filter)."""
+        n = 0
+        for batch in self._iter(self.cfg.data.data_in, shuffle=False):
+            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
+            self.state = self.store.count_step(self.state, args[0])
+            n += 1
+        log.info("count pass done (%d batches)", n)
+
+    def train_epoch(self, epoch: int) -> Progress:
+        prog = Progress()
+        self.reporter.reset()
+        acc = None
+        step = 0
+        for batch in self._iter(self.cfg.data.data_in, shuffle=True):
+            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
+            self.state, metrics = self.store.train_step(self.state, *args)
+            acc = metrics if acc is None else _merge_metrics(acc, metrics)
+            step += 1
+            if self.reporter.interval > 0 and step % self.reporter.interval == 0:
+                self._fold(prog, acc)
+                acc = None
+                self.reporter.maybe_report(step, prog, prefix=f"epoch {epoch} ")
+        if acc is not None:
+            self._fold(prog, acc)
+        st = self.store.stats(self.state)
+        prog.nnz_w = float(st["nnz_w"])
+        prog.nnz_V = float(st["nnz_V"])
+        return prog
+
+    def eval_pass(self, uri: str) -> Progress:
+        prog = Progress()
+        acc = None
+        pys: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        collected = 0
+        for batch in self._iter(uri, shuffle=False):
+            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
+            metrics, py = self.store.eval_step(self.state, *args)
+            acc = metrics if acc is None else _merge_metrics(acc, metrics)
+            if collected < _EXACT_AUC_CAP:
+                keep = batch.mask > 0
+                pys.append(np.asarray(py)[keep])
+                ys.append(batch.labels[keep])
+                collected += int(keep.sum())
+        if acc is not None:
+            self._fold(prog, acc)
+        if pys and collected <= _EXACT_AUC_CAP:
+            prog.exact_auc = exact_auc(np.concatenate(ys), np.concatenate(pys))
+        return prog
+
+    @staticmethod
+    def _fold(prog: Progress, acc) -> None:
+        m = jax.device_get(acc)
+        prog.merge(
+            Progress(
+                num_examples=float(m.examples),
+                logloss_sum=float(m.logloss_sum),
+                correct_sum=float(m.correct_sum),
+                auc_hist=np.asarray(m.auc_hist, dtype=np.float64),
+            )
+        )
+        if float(m.dropped_ids):
+            log.warning("routing capacity overflow: %d ids dropped", int(m.dropped_ids))
+
+    # -- driver (reference: SGDLearner::RunScheduler) -----------------------
+
+    def run(self) -> Progress:
+        cfg = self.cfg
+        if cfg.model.tail_feature_filter > 0 and not cfg.learner.model_in:
+            self.count_pass()
+        last = Progress()
+        for epoch in range(self._epoch, cfg.learner.max_num_epochs):
+            tr = self.train_epoch(epoch)
+            log.info("epoch %d train: %s", epoch, tr.row())
+            if cfg.data.data_val:
+                va = self.eval_pass(cfg.data.data_val)
+                auc = getattr(va, "exact_auc", None) or va.auc
+                log.info(
+                    "epoch %d valid: %s exact_auc %.6f", epoch, va.row(), auc
+                )
+                last = va
+            else:
+                last = tr
+            for cb in self.epoch_callbacks:
+                cb(epoch, last)
+            if cfg.learner.model_out and (
+                (epoch + 1) % cfg.learner.save_interval_epochs == 0
+                or epoch + 1 == cfg.learner.max_num_epochs
+            ):
+                path = checkpoint.save(
+                    cfg.learner.model_out, self.state, {"epoch": epoch + 1}
+                )
+                log.info("saved model to %s", path)
+        return last
+
+    def predict(self, uri: str) -> tuple[np.ndarray, np.ndarray]:
+        """Batch prediction: returns (scores, labels) for all rows
+        (reference: the validation/pred flow with model_in + no training)."""
+        pys, ys = [], []
+        for batch in self._iter(uri, shuffle=False):
+            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
+            _, py = self.store.eval_step(self.state, *args)
+            keep = batch.mask > 0
+            pys.append(np.asarray(py)[keep])
+            ys.append(batch.labels[keep])
+        return np.concatenate(pys), np.concatenate(ys)

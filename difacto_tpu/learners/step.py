@@ -1,0 +1,69 @@
+"""Worker-side batch math shared by all stores.
+
+This is the TPU counterpart of the body of the reference's
+``SGDLearner::Process`` hot loop (``src/sgd/sgd_learner.h`` — Localizer
+compact -> Pull -> Loss::Predict/CalcGrad -> per-key gradient aggregation
+-> Push). The store implementations orchestrate *where* pull/push happen
+(single table vs. sharded with all_to_all); the math here is identical in
+both, which is the seam difacto used to test distributed logic in-process
+(StoreLocal vs StoreDist).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..models.losses import fm_loss_grad
+from ..ops.localize import Localized
+from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
+
+
+class StepMetrics(NamedTuple):
+    """Additive per-step metrics (feeds utils.progress.Progress)."""
+
+    examples: jnp.ndarray      # f32 [] number of real rows
+    logloss_sum: jnp.ndarray   # f32 []
+    correct_sum: jnp.ndarray   # f32 []
+    auc_hist: jnp.ndarray      # f32 [2, NUM_AUC_BINS]
+    dropped_ids: jnp.ndarray   # f32 [] routing-capacity overflow (sharded only)
+
+
+def zero_metrics() -> StepMetrics:
+    z = jnp.zeros((), jnp.float32)
+    return StepMetrics(z, z, z, jnp.zeros((2, NUM_AUC_BINS), jnp.float32), z)
+
+
+def worker_grads(
+    rows_u: jnp.ndarray,   # f32 [U, 1+K] pulled unique rows (w | V)
+    loc: Localized,
+    vals: jnp.ndarray,     # f32 [B, L]
+    labels: jnp.ndarray,   # f32 [B] in {0,1}
+    mask: jnp.ndarray,     # f32 [B]
+) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
+    """Compute per-unique-id aggregated gradients and batch metrics.
+
+    Returns (grads_u [U, 1+K], py [B], metrics).
+    """
+    B, L = vals.shape
+    U, D = rows_u.shape
+    K = D - 1
+    rows = rows_u[loc.inv].reshape(B, L, D)
+    W = rows[..., 0]
+    V = rows[..., 1:]
+    fwd, g = fm_loss_grad(vals, W, V, labels, mask)
+    flat = jnp.concatenate(
+        [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
+    )
+    grads_u = jnp.zeros((U, D), flat.dtype).at[loc.inv].add(flat)
+    metrics = StepMetrics(
+        examples=jnp.sum(mask),
+        logloss_sum=jnp.sum(g.loss),
+        correct_sum=jnp.sum(g.correct),
+        auc_hist=auc_hist_update(
+            jnp.zeros((2, NUM_AUC_BINS), jnp.float32), fwd.py, labels, mask
+        ),
+        dropped_ids=jnp.zeros((), jnp.float32),
+    )
+    return grads_u, fwd.py, metrics

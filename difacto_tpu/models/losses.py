@@ -1,0 +1,96 @@
+"""Losses: logistic and factorization-machine, as pure batch-local math.
+
+Counterpart of the reference's ``src/loss/fm_loss.h`` :: FMLoss and
+``src/loss/logit_loss.h`` :: LogitLoss (plus ``include/difacto/loss.h``'s
+Predict/CalcGrad interface). Differences forced by TPU-first design:
+
+  * the reference streams CSR rows through CPU SpMV/SpMM
+    (``src/common/spmv.h``/``spmm.h``); here every batch is a dense padded
+    ``[B, L]`` block, so "SpMV" is an elementwise-multiply + row reduction
+    and "SpMM" is a ``[B, L] x [B, L, K]`` contraction that XLA fuses and
+    maps onto the VPU/MXU;
+  * gradients are returned per nnz-slot in batch layout; the caller
+    segment-sums them per unique id (the reference pushes per-key
+    aggregated gradients to servers — same aggregation, different place);
+  * gradient convention matches the reference exactly: labels y in
+    {-1,+1}, per-example loss log(1+exp(-y*py)), gradients are SUMS over
+    the batch (no 1/B averaging), so learning-rate knobs transfer.
+
+The FM second-order term is the classic sum-of-squares minus
+square-of-sums:  py = <w, x> + 1/2 * sum_k [ (sum_i x_i V_ik)^2
+                                             - sum_i x_i^2 V_ik^2 ].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class FMForward(NamedTuple):
+    py: jnp.ndarray      # f32 [B] raw margin
+    S: jnp.ndarray       # f32 [B, K] sum_i x_i * V_ik (residual for grad)
+
+
+def fm_predict(vals: jnp.ndarray, W: jnp.ndarray, V: jnp.ndarray) -> FMForward:
+    """vals, W: f32 [B, L]; V: f32 [B, L, K] (K may be 0).
+
+    Padding slots must arrive with vals == 0 — they then contribute
+    nothing to any term (the reference's variable-length rows simply
+    lack those entries).
+    """
+    linear = jnp.sum(vals * W, axis=-1)
+    if V.shape[-1] == 0:
+        return FMForward(linear, jnp.zeros(vals.shape[:1] + (0,), vals.dtype))
+    xv = vals[..., None] * V                       # [B, L, K]
+    S = jnp.sum(xv, axis=1)                        # [B, K]
+    Q = jnp.sum(xv * xv, axis=1)                   # [B, K] == sum x^2 V^2
+    py = linear + 0.5 * jnp.sum(S * S - Q, axis=-1)
+    return FMForward(py, S)
+
+
+class FMGrads(NamedTuple):
+    dW: jnp.ndarray      # f32 [B, L]
+    dV: jnp.ndarray      # f32 [B, L, K]
+    loss: jnp.ndarray    # f32 [B] per-example logloss (0 on masked rows)
+    correct: jnp.ndarray # f32 [B] 1 where sign-correct
+
+
+def logit_grad_coeff(py: jnp.ndarray, labels01: jnp.ndarray, mask: jnp.ndarray):
+    """d l/d py for l = log(1+exp(-y*py)), y = 2*labels01 - 1.
+
+    Equals sigma(py) - labels01; stable form used for the loss value.
+    Reference: LogitLoss::CalcGrad's tau = -y * sigma(-y*py).
+    """
+    y = 2.0 * labels01 - 1.0
+    m = -y * py
+    # log(1+exp(m)) stable
+    loss = (jnp.log1p(jnp.exp(-jnp.abs(m))) + jnp.maximum(m, 0.0)) * mask
+    d = (jax_sigmoid(py) - labels01) * mask
+    correct = ((py > 0) == (labels01 > 0.5)).astype(py.dtype) * mask
+    return d, loss, correct
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def fm_loss_grad(
+    vals: jnp.ndarray,
+    W: jnp.ndarray,
+    V: jnp.ndarray,
+    labels01: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> tuple[FMForward, FMGrads]:
+    """Fused predict + gradient (reference: FMLoss::Predict then CalcGrad;
+    fused here because XLA fuses the shared subexpressions anyway)."""
+    fwd = fm_predict(vals, W, V)
+    d, loss, correct = logit_grad_coeff(fwd.py, labels01, mask)
+    dW = vals * d[:, None]
+    if V.shape[-1] == 0:
+        dV = jnp.zeros_like(V)
+    else:
+        # d py / d V_ik = x_i * (S_k - x_i V_ik)
+        dV = d[:, None, None] * vals[:, :, None] * (fwd.S[:, None, :] - vals[:, :, None] * V)
+    return fwd, FMGrads(dW, dV, loss, correct)

@@ -1,0 +1,324 @@
+"""Parameter stores: the ps-lite seam, TPU-native.
+
+Counterpart of the reference's ``include/difacto/store.h`` :: Store and
+its two implementations (``src/store/store_local.h`` :: StoreLocal,
+``src/store/store_dist.h`` :: StoreDist over ps-lite KVWorker/KVServer).
+The reference's async keyed Push/Pull with timestamps/Wait disappears
+under synchronous jit semantics; what remains is the same seam:
+
+  * :class:`LocalStore` — one table on one device; pull = gather,
+    push = masked scatter-add update (reference: StoreLocal calling the
+    Updater directly in-process);
+  * :class:`ShardedStore` — the table row-sharded over a 1D device mesh;
+    pull = capacity-bucketed all_to_all of deduplicated ids followed by
+    owner-side gather and a reverse all_to_all of rows; push = the same
+    routing carrying per-key aggregated gradients, owner-side dedup and
+    shard-local update (reference: StoreDist push/pull over ZMQ with
+    server key-range sharding; ps-lite GetServerKeyRanges becomes
+    ``owner = hashed_id // rows_per_shard`` — contiguous ranges, so the
+    sorted unique ids of a batch bucket into contiguous runs).
+
+Both stores expose identical jitted step functions, which is how the
+reference tests distributed logic in one process (seam substitution,
+SURVEY.md §4) — tests assert LocalStore ≡ ShardedStore bit-for-bit.
+
+The comm pattern of ShardedStore is deliberately the MoE/DLRM dispatch
+pattern (per-destination capacity slots + all_to_all over ICI): each
+device sends at most C ids to each peer; overflow beyond capacity is
+dropped and *counted* (``metrics.dropped_ids``) — with uniform hashing
+and capacity_factor x slack this is vanishingly rare, and never silent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..learners.step import StepMetrics, worker_grads
+from ..ops.localize import Localized, localize
+from ..updaters.updater import FMState, FMUpdater
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class LocalStore:
+    """Single-device store (reference: StoreLocal + local Tracker)."""
+
+    def __init__(self, updater: FMUpdater, cfg: Config):
+        self.updater = updater
+        self.cfg = cfg
+        self.num_rows = 1 << cfg.data.num_bits
+        nnz = cfg.data.batch_size * cfg.data.max_nnz_per_row
+        self.unique_size = cfg.shard.unique_size or nnz
+        self.train_step = jax.jit(self._step, donate_argnums=0)
+        self.eval_step = jax.jit(self._eval)
+
+    def init_state(self, seed: int = 0) -> FMState:
+        return self.updater.init_state(self.num_rows, seed)
+
+    def place_state(self, host_state: FMState) -> FMState:
+        return jax.device_put(host_state)
+
+    def shard_batch(self, ids, vals, labels, mask):
+        return ids, vals, labels, mask
+
+    def count_step(self, state, ids):
+        return self._count(state, ids)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _count(self, state, ids):
+        """Feature-frequency pass (reference: Store::kFeaCount push used
+        for tail filtering before training)."""
+        loc = localize(ids, self.num_rows, self.unique_size)
+        idx = jnp.where(loc.valid, loc.uids, 0)
+        return dataclasses.replace(
+            state, cnt=state.cnt.at[idx].add(loc.counts * loc.valid)
+        )
+
+    def _pull_compute(self, state, ids, vals, labels, mask):
+        loc = localize(ids, self.num_rows, self.unique_size)
+        rows_u = self.updater.pull(state, loc.uids, loc.valid)
+        grads_u, py, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        return loc, grads_u, py, metrics
+
+    def _step(self, state, ids, vals, labels, mask):
+        loc, grads_u, _, metrics = self._pull_compute(state, ids, vals, labels, mask)
+        state = self.updater.update(state, loc.uids, grads_u, loc.counts, loc.valid)
+        return state, metrics
+
+    def _eval(self, state, ids, vals, labels, mask):
+        _, _, py, metrics = self._pull_compute(state, ids, vals, labels, mask)
+        return metrics, py
+
+    def stats(self, state):
+        return jax.jit(self.updater.stats)(state)
+
+
+class ShardedStore:
+    """Row-sharded store over a 1D mesh (reference: StoreDist + ps-lite).
+
+    One mesh axis ``'shard'`` carries both data parallelism (the batch is
+    split over it) and model parallelism (the table is split over it) —
+    every chip is simultaneously worker and server, as in DLRM-style
+    sparse training. SURVEY.md §2.3: this is difacto's async DP +
+    key-range model parallelism, made synchronous; the spiritual EP
+    analog (sharded sparse table + all_to_all).
+    """
+
+    def __init__(self, updater: FMUpdater, cfg: Config, mesh: Mesh | None = None):
+        self.updater = updater
+        self.cfg = cfg
+        if mesh is None:
+            n = cfg.shard.num_shards or len(jax.devices())
+            mesh = jax.make_mesh((n,), ("shard",))
+        self.mesh = mesh
+        self.S = mesh.shape["shard"]
+        self.num_rows = 1 << cfg.data.num_bits
+        assert self.num_rows % self.S == 0, "table rows must divide num_shards"
+        self.rows_per_shard = self.num_rows // self.S
+        assert cfg.data.batch_size % self.S == 0, (
+            f"batch_size {cfg.data.batch_size} must divide num_shards {self.S}"
+        )
+        local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
+        self.unique_size = cfg.shard.unique_size or local_nnz
+        # per-(src,dst) all_to_all slot capacity
+        perfect = (self.unique_size + self.S - 1) // self.S
+        self.capacity = _round_up(
+            max(int(perfect * cfg.shard.capacity_factor), 8), 8
+        )
+
+        state_spec = FMState(
+            w=P("shard"), z=P("shard"), n=P("shard"),
+            V=P("shard", None), nV=P("shard", None), cnt=P("shard"),
+        )
+        batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+        metrics_spec = StepMetrics(P(), P(), P(), P(), P())
+        self._state_spec = state_spec
+
+        train = jax.shard_map(
+            self._step,
+            mesh=self.mesh,
+            in_specs=(state_spec,) + batch_specs,
+            out_specs=(state_spec, metrics_spec),
+        )
+        self.train_step = jax.jit(train, donate_argnums=0)
+        evalf = jax.shard_map(
+            self._eval,
+            mesh=self.mesh,
+            in_specs=(state_spec,) + batch_specs,
+            out_specs=(metrics_spec, P("shard")),
+        )
+        self.eval_step = jax.jit(evalf)
+        countf = jax.shard_map(
+            self._count,
+            mesh=self.mesh,
+            in_specs=(state_spec, P("shard", None)),
+            out_specs=state_spec,
+        )
+        self.count_step = jax.jit(countf, donate_argnums=0)
+
+    # -- placement ----------------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> FMState:
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), self._state_spec
+        )
+        @functools.partial(jax.jit, out_shardings=shardings)
+        def _init():
+            return self.updater.init_state(self.num_rows, seed)
+
+        return _init()
+
+    def shard_batch(self, ids, vals, labels, mask):
+        specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+        return tuple(
+            jax.device_put(np.asarray(a), NamedSharding(self.mesh, s))
+            for a, s in zip((ids, vals, labels, mask), specs)
+        )
+
+    # -- per-device program (runs inside shard_map) -------------------------
+
+    def _routing(self, loc: Localized):
+        """Bucket the sorted local unique ids into per-owner capacity slots."""
+        S, C = self.S, self.capacity
+        U = loc.uids.shape[0]
+        owner = jnp.minimum(loc.uids // self.rows_per_shard, S - 1)
+        # uids sorted ascending => owner non-decreasing => buckets contiguous
+        start = jnp.searchsorted(owner, jnp.arange(S, dtype=owner.dtype))
+        slot = jnp.arange(U, dtype=jnp.int32) - start[owner].astype(jnp.int32)
+        ok = loc.valid & (slot < C)
+        pos = jnp.where(ok, owner.astype(jnp.int32) * C + slot, S * C)
+        dropped = jnp.sum((loc.valid & ~ok).astype(jnp.float32))
+        return pos, ok, dropped
+
+    def _pull(self, state, loc):
+        S, C = self.S, self.capacity
+        D = 1 + self.updater.param.V_dim
+        pos, ok, dropped = self._routing(loc)
+        send_ids = (
+            jnp.full(S * C + 1, -1, jnp.int32)
+            .at[pos]
+            .set(jnp.where(ok, loc.uids, -1))[: S * C]
+        )
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(S, C), "shard", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * C)
+        my_lo = jax.lax.axis_index("shard") * self.rows_per_shard
+        lidx = recv_ids - my_lo
+        rvalid = recv_ids >= 0
+        rows_local = self.updater.pull(state, lidx, rvalid)  # [S*C, D]
+        rows_back = jax.lax.all_to_all(
+            rows_local.reshape(S, C * D), "shard", split_axis=0, concat_axis=0,
+            tiled=True,
+        ).reshape(S * C, D)
+        rows_u = jnp.where(
+            ok[:, None], rows_back[jnp.minimum(pos, S * C - 1)], 0.0
+        )
+        ctx = (pos, ok, lidx, rvalid)
+        return rows_u, ctx, dropped
+
+    def _push(self, state, loc, grads_u, ctx):
+        S, C = self.S, self.capacity
+        D = grads_u.shape[1]
+        pos, ok, lidx, rvalid = ctx
+        payload = jnp.concatenate([grads_u, loc.counts[:, None]], axis=1)  # [U, D+1]
+        send = (
+            jnp.zeros((S * C + 1, D + 1), payload.dtype)
+            .at[pos]
+            .set(jnp.where(ok[:, None], payload, 0.0))[: S * C]
+        )
+        recv = jax.lax.all_to_all(
+            send.reshape(S, C * (D + 1)), "shard", split_axis=0, concat_axis=0,
+            tiled=True,
+        ).reshape(S * C, D + 1)
+        # owner-side dedup across requesters (reference: the server applies
+        # per-key aggregated gradients once per key)
+        rl = jnp.where(rvalid, lidx, self.rows_per_shard)
+        ouids, oinv = jnp.unique(
+            rl, size=S * C, fill_value=self.rows_per_shard, return_inverse=True
+        )
+        ovalid = ouids < self.rows_per_shard
+        agg = (
+            jnp.zeros((S * C, D + 1), recv.dtype)
+            .at[oinv]
+            .add(recv * rvalid[:, None].astype(recv.dtype))
+        )
+        return self.updater.update(
+            state, ouids.astype(jnp.int32), agg[:, :D], agg[:, D], ovalid
+        )
+
+    def _psum_metrics(self, metrics: StepMetrics, dropped) -> StepMetrics:
+        m = metrics._replace(dropped_ids=metrics.dropped_ids + dropped)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), m)
+
+    def _step(self, state, ids, vals, labels, mask):
+        loc = localize(ids, self.num_rows, self.unique_size)
+        rows_u, ctx, dropped = self._pull(state, loc)
+        grads_u, _, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        state = self._push(state, loc, grads_u, ctx)
+        return state, self._psum_metrics(metrics, dropped)
+
+    def _eval(self, state, ids, vals, labels, mask):
+        loc = localize(ids, self.num_rows, self.unique_size)
+        rows_u, _, dropped = self._pull(state, loc)
+        _, py, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        return self._psum_metrics(metrics, dropped), py
+
+    def _count(self, state, ids):
+        """Sharded feature-frequency pass: route per-unique counts to the
+        owning shard via all_to_all, owner scatter-adds into cnt."""
+        S, C = self.S, self.capacity
+        loc = localize(ids, self.num_rows, self.unique_size)
+        pos, ok, _ = self._routing(loc)
+        send_ids = (
+            jnp.full(S * C + 1, -1, jnp.int32)
+            .at[pos]
+            .set(jnp.where(ok, loc.uids, -1))[: S * C]
+        )
+        send_cnt = (
+            jnp.zeros(S * C + 1, jnp.float32)
+            .at[pos]
+            .set(jnp.where(ok, loc.counts, 0.0))[: S * C]
+        )
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(S, C), "shard", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * C)
+        recv_cnt = jax.lax.all_to_all(
+            send_cnt.reshape(S, C), "shard", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * C)
+        my_lo = jax.lax.axis_index("shard") * self.rows_per_shard
+        rvalid = recv_ids >= 0
+        lidx = jnp.where(rvalid, recv_ids - my_lo, 0)
+        return dataclasses.replace(
+            state, cnt=state.cnt.at[lidx].add(recv_cnt * rvalid)
+        )
+
+    def place_state(self, host_state: FMState) -> FMState:
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), self._state_spec
+        )
+        return jax.device_put(host_state, shardings)
+
+    def stats(self, state):
+        return jax.jit(self.updater.stats)(state)
+
+
+def make_store(updater: FMUpdater, cfg: Config, mesh: Mesh | None = None):
+    """Store::Create (reference: picks StoreLocal vs StoreDist from env)."""
+    kind = cfg.shard.store
+    if kind == "auto":
+        n = cfg.shard.num_shards or len(jax.devices())
+        kind = "sharded" if n > 1 else "local"
+    if kind == "local":
+        return LocalStore(updater, cfg)
+    if kind == "sharded":
+        return ShardedStore(updater, cfg, mesh)
+    raise ValueError(f"unknown store {kind!r}")

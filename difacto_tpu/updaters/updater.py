@@ -1,0 +1,206 @@
+"""Server-side optimizer state and updates, vectorized.
+
+Counterpart of the reference's ``include/difacto/updater.h`` (Get/Update/
+Load/Save) and ``src/sgd/sgd_updater.h`` :: SGDUpdater. Structural
+redesign for TPU:
+
+  * the reference keeps ``unordered_map<feaid_t, SGDEntry>`` with lazily
+    allocated variable-length entries (w-only until ``fea_cnt >=
+    V_threshold``, then w+V). Hash maps and variable lengths are hostile
+    to XLA; we keep dense static tables over the hashed id space and turn
+    lazy *allocation* into lazy *activation*: V rows are initialized at
+    table creation (uniform(-V_init_scale, +V_init_scale), same as the
+    reference's alloc-time init) but contribute to predictions and
+    receive updates only once ``cnt >= V_threshold``;
+  * updates are applied to the batch's unique rows via gather -> vector
+    math -> masked delta scatter-add (deterministic: real uids are unique,
+    padded lanes contribute zero deltas);
+  * the linear weight uses FTRL-proximal exactly as the reference
+    (z/n state, closed-form l1 soft-threshold => exact sparsity), with
+    AdaGrad and plain SGD selectable; V uses AdaGrad (or SGD).
+
+Update math (FTRL, reference SGDUpdater::UpdateW):
+    n' = n + g^2;  sigma = (sqrt(n') - sqrt(n)) / lr_eta
+    z' = z + g - sigma * w
+    w' = 0                                   if |z'| <= l1
+         -(z' - sign(z')*l1) / ((lr_beta + sqrt(n'))/lr_eta + l2)  otherwise
+AdaGrad (reference SGDUpdater::UpdateV):
+    g' = g + l2 * v;  n' = n + g'^2;  v' = v - lr_eta * g' / (sqrt(n') + lr_beta)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FMParam
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FMState:
+    """Dense sharded-table state (rows = hashed feature ids)."""
+
+    w: jnp.ndarray     # f32 [N]    linear weights
+    z: jnp.ndarray     # f32 [N]    FTRL z (unused for adagrad/sgd w)
+    n: jnp.ndarray     # f32 [N]    squared-grad accumulator for w
+    V: jnp.ndarray     # f32 [N, K] latent factors
+    nV: jnp.ndarray    # f32 [N, K] squared-grad accumulator for V
+    cnt: jnp.ndarray   # f32 [N]    feature occurrence counts (kFeaCount)
+
+    @property
+    def num_rows(self) -> int:
+        return self.w.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.V.shape[1]
+
+
+class FMUpdater:
+    """Functional updater: all methods are pure (state in, state out) and
+    jit-traceable; ``param`` values are compile-time constants."""
+
+    def __init__(self, param: FMParam):
+        self.param = param
+
+    # -- creation / io ------------------------------------------------------
+
+    def init_state(self, num_rows: int, seed: int = 0) -> FMState:
+        p = self.param
+        k = p.V_dim
+        key = jax.random.PRNGKey(seed)
+        V = (
+            jax.random.uniform(key, (num_rows, k), jnp.float32, -1.0, 1.0)
+            * p.V_init_scale
+            if k > 0
+            else jnp.zeros((num_rows, 0), jnp.float32)
+        )
+        def zeros():
+            # distinct buffers: donation forbids aliased arguments
+            return jnp.zeros(num_rows, jnp.float32)
+
+        return FMState(
+            w=zeros(), z=zeros(), n=zeros(), V=V, nV=jnp.zeros_like(V), cnt=zeros()
+        )
+
+    # -- Get (reference: SGDUpdater::Get) -----------------------------------
+
+    def pull(self, state: FMState, uids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        """Materialize rows [U, 1+K]: w then V. V is zero until activated
+        (cnt >= V_threshold), matching the reference's absent-entry
+        semantics; invalid (padded) lanes are fully zero."""
+        idx = jnp.where(valid, uids, 0)
+        v = valid.astype(jnp.float32)
+        w = state.w[idx] * v
+        active = self._active(state, idx, valid)
+        V = state.V[idx] * active[:, None].astype(jnp.float32)
+        return jnp.concatenate([w[:, None], V], axis=1)
+
+    def _active(self, state: FMState, uids, valid):
+        p = self.param
+        a = valid
+        if p.V_dim > 0:
+            a = a & (state.cnt[uids] >= p.V_threshold)
+        return a
+
+    def _trainable_w(self, state: FMState, uids, valid):
+        p = self.param
+        t = valid
+        if p.tail_feature_filter > 0:
+            t = t & (state.cnt[uids] >= p.tail_feature_filter)
+        return t
+
+    # -- Update (reference: SGDUpdater::Update) -----------------------------
+
+    def update(
+        self,
+        state: FMState,
+        uids: jnp.ndarray,     # i32 [U] unique table rows (clamped, sorted)
+        grads: jnp.ndarray,    # f32 [U, 1+K] per-key aggregated gradients
+        add_cnt: jnp.ndarray,  # f32 [U] batch occurrence counts
+        valid: jnp.ndarray,    # bool [U]
+    ) -> FMState:
+        p = self.param
+        uids = jnp.where(valid, uids, 0)  # clamp sentinel lanes; deltas masked
+        g = grads[:, 0]
+        w_u = state.w[uids]
+        n_u = state.n[uids]
+        upd_w = self._trainable_w(state, uids, valid)
+
+        if p.w_updater == "ftrl":
+            z_u = state.z[uids]
+            n_new = n_u + g * g
+            sigma = (jnp.sqrt(n_new) - jnp.sqrt(n_u)) / p.lr_eta
+            z_new = z_u + g - sigma * w_u
+            w_new = jnp.where(
+                jnp.abs(z_new) <= p.l1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * p.l1)
+                / ((p.lr_beta + jnp.sqrt(n_new)) / p.lr_eta + p.l2),
+            )
+        elif p.w_updater == "adagrad":
+            g_r = g + p.l2 * w_u
+            z_new = state.z[uids]
+            n_new = n_u + g_r * g_r
+            w_new = w_u - p.lr_eta * g_r / (jnp.sqrt(n_new) + p.lr_beta)
+        else:  # sgd
+            z_new = state.z[uids]
+            n_new = n_u
+            w_new = w_u - p.lr_eta * (g + p.l2 * w_u)
+
+        m = upd_w.astype(jnp.float32)
+        state = FMState(
+            w=state.w.at[uids].add(m * (w_new - w_u)),
+            z=state.z.at[uids].add(m * (z_new - state.z[uids])),
+            n=state.n.at[uids].add(m * (n_new - n_u)),
+            V=state.V,
+            nV=state.nV,
+            cnt=state.cnt.at[uids].add(valid.astype(jnp.float32) * add_cnt),
+        )
+
+        if p.V_dim > 0:
+            # activation gate uses the PRE-update count (a row crossing the
+            # threshold this batch gets its first V update next batch, like
+            # the reference, whose first post-allocation pull sees init V).
+            cnt_pre = state.cnt[uids] - valid.astype(jnp.float32) * add_cnt
+            active = valid & (cnt_pre >= p.V_threshold)
+            if p.tail_feature_filter > 0:
+                active = active & (cnt_pre >= p.tail_feature_filter)
+            gV = grads[:, 1:]
+            V_u = state.V[uids]
+            nV_u = state.nV[uids]
+            if p.V_updater == "adagrad":
+                gV_r = gV + p.V_l2 * V_u
+                nV_new = nV_u + gV_r * gV_r
+                V_new = V_u - p.V_lr_eta * gV_r / (jnp.sqrt(nV_new) + p.V_lr_beta)
+            else:  # sgd
+                nV_new = nV_u
+                V_new = V_u - p.V_lr_eta * (gV + p.V_l2 * V_u)
+            mV = active[:, None].astype(jnp.float32)
+            state = FMState(
+                w=state.w,
+                z=state.z,
+                n=state.n,
+                V=state.V.at[uids].add(mV * (V_new - V_u)),
+                nV=state.nV.at[uids].add(mV * (nV_new - nV_u)),
+                cnt=state.cnt,
+            )
+        return state
+
+    # -- observability ------------------------------------------------------
+
+    def stats(self, state: FMState) -> dict[str, jnp.ndarray]:
+        """nnz(w) / active-V counts (the capacity observables the reference
+        prints in Progress rows)."""
+        out = {"nnz_w": jnp.sum(state.w != 0).astype(jnp.float32)}
+        if self.param.V_dim > 0:
+            out["nnz_V"] = jnp.sum(state.cnt >= self.param.V_threshold).astype(
+                jnp.float32
+            )
+        else:
+            out["nnz_V"] = jnp.zeros((), jnp.float32)
+        return out

@@ -1,0 +1,127 @@
+"""Data layer tests (reference: dmlc-core parser tests + localizer_test.cc
++ the InputSplit record-alignment guarantees)."""
+
+import numpy as np
+import pytest
+
+from difacto_tpu.base import hash_ids, splitmix64
+from difacto_tpu.data.batch_iter import PAD_ID, BatchIter, rowblock_to_batches
+from difacto_tpu.data.converter import convert_file, load_csr_shard
+from difacto_tpu.data.libsvm import iter_file_chunks, parse_libsvm_numpy
+from difacto_tpu.data.synthetic import make_ctr_data, write_libsvm
+
+
+def test_parse_libsvm_golden():
+    text = b"""1 0:1.5 7:2.0
+0 3:1.0
+# a comment line
+
+1 18446744073709551615:0.25 2:-1
+"""
+    blk = parse_libsvm_numpy(text)
+    assert blk.num_rows == 3
+    np.testing.assert_array_equal(blk.labels, [1, 0, 1])
+    np.testing.assert_array_equal(blk.indptr, [0, 2, 3, 5])
+    np.testing.assert_array_equal(
+        blk.indices, np.array([0, 7, 3, 18446744073709551615, 2], np.uint64)
+    )
+    np.testing.assert_allclose(blk.values, [1.5, 2.0, 1.0, 0.25, -1.0])
+
+
+def test_parse_negative_label():
+    blk = parse_libsvm_numpy(b"-1 1:1\n+1 2:1\n")
+    np.testing.assert_array_equal(blk.labels, [-1, 1])
+
+
+def test_parse_empty():
+    assert parse_libsvm_numpy(b"").num_rows == 0
+    assert parse_libsvm_numpy(b"\n\n").num_rows == 0
+
+
+def test_chunk_parts_disjoint_and_complete(tmp_path):
+    """Byte-range parts must cover every line exactly once (dmlc InputSplit)."""
+    path = tmp_path / "d.svm"
+    lines = [f"{i % 2} {i}:1\n" for i in range(997)]
+    path.write_text("".join(lines))
+    seen = []
+    for part in range(4):
+        for chunk in iter_file_chunks(str(path), chunk_bytes=256, part_index=part, num_parts=4):
+            seen.extend(chunk.splitlines())
+    assert sorted(seen) == sorted(ln.strip().encode() for ln in lines)
+
+
+def test_hash_ids_range_and_determinism():
+    ids = np.array([0, 1, 2**63, 2**64 - 1], np.uint64)
+    h1 = hash_ids(ids, 16)
+    h2 = hash_ids(ids, 16)
+    np.testing.assert_array_equal(h1, h2)
+    assert h1.dtype == np.int32
+    assert (h1 >= 0).all() and (h1 < 2**16).all()
+    # mixing: distinct inputs should not collide here
+    assert len(set(h1.tolist())) == 4
+
+
+def test_splitmix_uniformity():
+    h = splitmix64(np.arange(1 << 14, dtype=np.uint64))
+    bins = np.bincount((h & np.uint64(255)).astype(int), minlength=256)
+    assert bins.min() > 20  # roughly uniform over 256 buckets (mean 64)
+
+
+def test_batches_shapes_padding():
+    blk = make_ctr_data(100, num_fields=5, vocab_per_field=50, seed=0)
+    batches = list(rowblock_to_batches(blk, batch_size=32, max_nnz=8, num_bits=12))
+    assert len(batches) == 4
+    for b in batches:
+        assert b.ids.shape == (32, 8)
+        assert b.vals.shape == (32, 8)
+        # padding slots: id == PAD_ID and val == 0
+        assert ((b.ids == PAD_ID) == (b.vals == 0)).all() or (b.vals[b.ids == PAD_ID] == 0).all()
+    # last batch has 100 - 96 = 4 real rows
+    assert batches[-1].num_examples == 4
+    assert batches[-1].mask[:4].all() and not batches[-1].mask[4:].any()
+
+
+def test_truncation():
+    """Rows longer than max_nnz are truncated, not dropped."""
+    blk = make_ctr_data(16, num_fields=10, vocab_per_field=50, seed=0)
+    (b,) = rowblock_to_batches(blk, batch_size=16, max_nnz=4, num_bits=12)
+    assert (b.ids[:, :4] != PAD_ID).all()
+
+
+def test_converter_roundtrip(tmp_path):
+    blk = make_ctr_data(500, num_fields=6, vocab_per_field=100, seed=3)
+    svm = tmp_path / "x.svm"
+    write_libsvm(blk, str(svm))
+    outs = convert_file(str(svm), str(tmp_path / "x"), rows_per_shard=200)
+    assert len(outs) == 3
+    rows = 0
+    nnz = 0
+    for p in outs:
+        shard = load_csr_shard(p)
+        rows += shard.num_rows
+        nnz += shard.nnz
+    assert rows == 500 and nnz == blk.nnz
+    # first shard content matches the head of the original block
+    s0 = load_csr_shard(outs[0])
+    np.testing.assert_array_equal(s0.labels, blk.labels[: s0.num_rows])
+    np.testing.assert_array_equal(s0.indices, blk.indices[: s0.nnz])
+
+
+def test_batchiter_epochs_and_formats(tmp_path):
+    blk = make_ctr_data(300, num_fields=4, vocab_per_field=40, seed=5)
+    svm = tmp_path / "y.svm"
+    write_libsvm(blk, str(svm))
+    it = BatchIter(str(svm), batch_size=64, max_nnz=4, num_bits=12, shuffle=True, seed=9)
+    e1 = [b.labels.copy() for b in it]
+    e2 = [b.labels.copy() for b in it]
+    assert sum(b.sum() for b in e1) == sum(b.sum() for b in e2)
+    # shuffling differs between epochs
+    assert any((a != b).any() for a, b in zip(e1, e2))
+    # csr format path
+    convert_file(str(svm), str(tmp_path / "y"), rows_per_shard=1000)
+    it2 = BatchIter(
+        str(tmp_path / "y.part*.npz"), batch_size=64, max_nnz=4, num_bits=12,
+        data_format="csr",
+    )
+    total = sum(b.num_examples for b in it2)
+    assert total == 300

@@ -1,0 +1,88 @@
+"""End-to-end learner tests (reference: the integration level difacto gets
+from running the whole binary on small data with StoreLocal)."""
+
+import numpy as np
+import pytest
+
+from difacto_tpu.config import Config
+from difacto_tpu.data.synthetic import make_ctr_data, write_libsvm
+from difacto_tpu.learners.sgd import SGDLearner
+from difacto_tpu.ops.metrics import exact_auc
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("data")
+    tr = make_ctr_data(8000, num_fields=10, vocab_per_field=300, seed=1)
+    va = make_ctr_data(2000, num_fields=10, vocab_per_field=300, seed=2)
+    write_libsvm(tr, str(tmp / "train.svm"))
+    write_libsvm(va, str(tmp / "val.svm"))
+    return tmp
+
+
+def _cfg(data, **kw):
+    base = dict(
+        data_in=str(data / "train.svm"),
+        data_val=str(data / "val.svm"),
+        batch_size="512",
+        num_bits="16",
+        max_nnz_per_row="12",
+        V_dim="8",
+        max_num_epochs="4",
+        lr_eta="0.1",
+        l1="0.1",
+        V_lr_eta="0.05",
+        report_interval="0",
+    )
+    base.update({k: str(v) for k, v in kw.items()})
+    return Config.from_kwargs(list(base.items()))
+
+
+def test_sgd_learns_signal(data):
+    prog = SGDLearner(_cfg(data)).run()
+    assert prog.exact_auc is not None
+    assert prog.exact_auc > 0.66, prog.exact_auc
+    # streaming binned AUC tracks the exact one
+    assert abs(prog.auc - prog.exact_auc) < 5e-3
+
+
+def test_fm_beats_lr(data):
+    """The second-order term must add AUC on interaction-dominant data
+    (reference: the whole point of difacto's FM loss)."""
+    auc_lr = SGDLearner(_cfg(data, V_dim=0, max_num_epochs=3)).run().exact_auc
+    auc_fm = SGDLearner(_cfg(data, V_dim=8, max_num_epochs=3)).run().exact_auc
+    assert auc_fm > auc_lr + 0.03, (auc_lr, auc_fm)
+
+
+def test_checkpoint_resume_bitexact(data, tmp_path):
+    """Save at epoch 2, resume, and the eval scores must match a straight
+    4-epoch run's trajectory (checkpoint round-trips the full state)."""
+    cfg_a = _cfg(data, max_num_epochs=2, model_out=str(tmp_path / "m"))
+    SGDLearner(cfg_a).run()
+    cfg_b = _cfg(data, max_num_epochs=2, model_in=str(tmp_path / "m"))
+    lrn_b = SGDLearner(cfg_b)
+    # resumed learner starts at epoch 2 -> runs 0 more epochs; predict only
+    py_b, y_b = lrn_b.predict(str(data / "val.svm"))
+    cfg_c = _cfg(data, max_num_epochs=2)
+    lrn_c = SGDLearner(cfg_c)
+    lrn_c.run()
+    py_c, y_c = lrn_c.predict(str(data / "val.svm"))
+    np.testing.assert_allclose(py_b, py_c, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(y_b, y_c)
+
+
+def test_tail_feature_filter_runs(data):
+    cfg = _cfg(data, tail_feature_filter=2, max_num_epochs=1)
+    prog = SGDLearner(cfg).run()
+    assert prog.num_examples == 2000  # validation rows counted
+
+
+def test_cli_main(data, tmp_path):
+    from difacto_tpu.cli import main
+
+    conf = tmp_path / "t.conf"
+    conf.write_text(
+        f"data_in = {data/'train.svm'}\nbatch_size = 512\nnum_bits = 14\n"
+        "max_nnz_per_row = 12\nmax_num_epochs = 1\nreport_interval = 0\n"
+    )
+    assert main([str(conf), "V_dim=2"]) == 0

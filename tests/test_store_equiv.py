@@ -1,0 +1,115 @@
+"""Store seam tests (reference pattern, SURVEY.md §4: StoreLocal vs
+StoreDist run identical learner logic — here LocalStore vs ShardedStore on
+a virtual 8-device mesh must produce numerically matching state)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difacto_tpu.config import Config
+from difacto_tpu.data.batch_iter import rowblock_to_batches
+from difacto_tpu.data.synthetic import make_ctr_data
+from difacto_tpu.parallel.store import LocalStore, ShardedStore, make_store
+from difacto_tpu.updaters.updater import FMUpdater
+
+
+def _cfg(**kw):
+    base = dict(batch_size="256", num_bits="14", max_nnz_per_row="16", V_dim="4")
+    base.update({k: str(v) for k, v in kw.items()})
+    return Config.from_kwargs(list(base.items()))
+
+
+def _batches(cfg, n_rows=1024, seed=1):
+    blk = make_ctr_data(n_rows, num_fields=12, vocab_per_field=400, seed=seed)
+    return list(
+        rowblock_to_batches(
+            blk, cfg.data.batch_size, cfg.data.max_nnz_per_row, cfg.data.num_bits
+        )
+    )
+
+
+@pytest.mark.parametrize("vdim", [0, 4])
+def test_local_vs_sharded_training(vdim):
+    cfg = _cfg(V_dim=vdim)
+    upd = FMUpdater(cfg.model)
+    batches = _batches(cfg)
+
+    local = LocalStore(upd, cfg)
+    s1 = local.init_state(0)
+    for b in batches:
+        s1, m1 = local.train_step(s1, b.ids, b.vals, b.labels, b.mask)
+
+    sharded = ShardedStore(upd, cfg)
+    s2 = sharded.init_state(0)
+    for b in batches:
+        args = sharded.shard_batch(b.ids, b.vals, b.labels, b.mask)
+        s2, m2 = sharded.train_step(s2, *args)
+
+    assert float(m2.dropped_ids) == 0.0
+    h1, h2 = jax.device_get(s1), jax.device_get(s2)
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        a, b = np.asarray(getattr(h1, name)), np.asarray(getattr(h2, name))
+        if a.size:
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+    # metrics agree too
+    np.testing.assert_allclose(float(m1.examples), float(m2.examples))
+    np.testing.assert_allclose(
+        float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-4
+    )
+
+
+def test_eval_equivalence():
+    cfg = _cfg()
+    upd = FMUpdater(cfg.model)
+    batches = _batches(cfg)
+    local = LocalStore(upd, cfg)
+    sharded = ShardedStore(upd, cfg)
+    s1 = local.init_state(3)
+    s2 = sharded.init_state(3)
+    b = batches[0]
+    m1, py1 = local.eval_step(s1, b.ids, b.vals, b.labels, b.mask)
+    m2, py2 = sharded.eval_step(s2, *sharded.shard_batch(b.ids, b.vals, b.labels, b.mask))
+    np.testing.assert_allclose(np.asarray(py1), np.asarray(py2), rtol=1e-5, atol=1e-5)
+
+
+def test_count_step_equivalence():
+    cfg = _cfg()
+    upd = FMUpdater(cfg.model)
+    batches = _batches(cfg)
+    local = LocalStore(upd, cfg)
+    sharded = ShardedStore(upd, cfg)
+    s1 = local.init_state(0)
+    s2 = sharded.init_state(0)
+    for b in batches:
+        s1 = local.count_step(s1, jnp.asarray(b.ids))
+        args = sharded.shard_batch(b.ids, b.vals, b.labels, b.mask)
+        s2 = sharded.count_step(s2, args[0])
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s1).cnt), np.asarray(jax.device_get(s2).cnt)
+    )
+    # total count equals total real nnz
+    total_nnz = sum((b.ids >= 0).sum() for b in batches)
+    assert float(np.asarray(jax.device_get(s1).cnt).sum()) == total_nnz
+
+
+def test_make_store_auto():
+    cfg = _cfg()
+    upd = FMUpdater(cfg.model)
+    st = make_store(upd, cfg)
+    assert isinstance(st, ShardedStore)  # 8 virtual devices
+    cfg2 = _cfg()
+    cfg2.shard.store = "local"
+    assert isinstance(make_store(upd, cfg2), LocalStore)
+
+
+def test_capacity_overflow_counted_not_silent():
+    """With a pathological capacity, drops must be reported, never silent."""
+    cfg = _cfg()
+    cfg.shard.capacity_factor = 0.01
+    upd = FMUpdater(cfg.model)
+    sharded = ShardedStore(upd, cfg)
+    s = sharded.init_state(0)
+    b = _batches(cfg)[0]
+    s, m = sharded.train_step(s, *sharded.shard_batch(b.ids, b.vals, b.labels, b.mask))
+    assert float(m.dropped_ids) > 0
