@@ -134,6 +134,8 @@ class ShardParam(ParamBase):
     num_shards: int = 0            # 0 = all visible devices
     capacity_factor: float = 2.0   # all_to_all slot slack vs perfect balance
     unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
+    kernel: str = "auto"           # pallas | xla | auto (pallas on TPU)
+    block_rows: int = 1024         # table rows per sweep-kernel block
 
 
 @dataclass

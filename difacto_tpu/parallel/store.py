@@ -49,15 +49,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _use_pallas(cfg: Config) -> bool:
+    kind = cfg.shard.kernel
+    if kind == "auto":
+        return jax.default_backend() == "tpu"
+    return kind == "pallas"
+
+
 class LocalStore:
     """Single-device store (reference: StoreLocal + local Tracker)."""
 
-    def __init__(self, updater: FMUpdater, cfg: Config):
+    def __init__(self, updater: FMUpdater, cfg: Config, interpret: bool = False):
         self.updater = updater
         self.cfg = cfg
         self.num_rows = 1 << cfg.data.num_bits
         nnz = cfg.data.batch_size * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or nnz
+        self.pallas = _use_pallas(cfg) or interpret
+        self.interpret = interpret
+        self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
 
@@ -85,13 +95,32 @@ class LocalStore:
 
     def _pull_compute(self, state, ids, vals, labels, mask):
         loc = localize(ids, self.num_rows, self.unique_size)
-        rows_u = self.updater.pull(state, loc.uids, loc.valid)
+        if self.pallas:
+            from ..ops.sweep import sweep_pull
+
+            rows_u = sweep_pull(
+                state, loc.uids, loc.valid, self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            rows_u = self.updater.pull(state, loc.uids, loc.valid)
         grads_u, py, metrics = worker_grads(rows_u, loc, vals, labels, mask)
         return loc, grads_u, py, metrics
 
     def _step(self, state, ids, vals, labels, mask):
         loc, grads_u, _, metrics = self._pull_compute(state, ids, vals, labels, mask)
-        state = self.updater.update(state, loc.uids, grads_u, loc.counts, loc.valid)
+        if self.pallas:
+            from ..ops.sweep import sweep_apply
+
+            state = sweep_apply(
+                state, loc.uids, grads_u, loc.counts, loc.valid,
+                self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            state = self.updater.update(
+                state, loc.uids, grads_u, loc.counts, loc.valid
+            )
         return state, metrics
 
     def _eval(self, state, ids, vals, labels, mask):
@@ -137,7 +166,7 @@ class ShardedStore:
 
         state_spec = FMState(
             w=P("shard"), z=P("shard"), n=P("shard"),
-            V=P("shard", None), nV=P("shard", None), cnt=P("shard"),
+            V=P(None, "shard"), nV=P(None, "shard"), cnt=P("shard"),
         )
         batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
         metrics_spec = StepMetrics(P(), P(), P(), P(), P())

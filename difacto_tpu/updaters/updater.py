@@ -42,13 +42,19 @@ from ..config import FMParam
 @jax.tree_util.register_dataclass
 @dataclass
 class FMState:
-    """Dense sharded-table state (rows = hashed feature ids)."""
+    """Dense sharded-table state (rows = hashed feature ids).
+
+    V/nV are stored PLANAR ([K, N], factor-major) rather than row-major
+    [N, K]: TPU tiling wants the long axis on lanes (128-multiples), and
+    the Pallas sweep kernels then see clean (K, R) blocks. Row-major
+    views are materialized only for per-batch unique rows (small).
+    """
 
     w: jnp.ndarray     # f32 [N]    linear weights
     z: jnp.ndarray     # f32 [N]    FTRL z (unused for adagrad/sgd w)
     n: jnp.ndarray     # f32 [N]    squared-grad accumulator for w
-    V: jnp.ndarray     # f32 [N, K] latent factors
-    nV: jnp.ndarray    # f32 [N, K] squared-grad accumulator for V
+    V: jnp.ndarray     # f32 [K, N] latent factors (planar)
+    nV: jnp.ndarray    # f32 [K, N] squared-grad accumulator for V (planar)
     cnt: jnp.ndarray   # f32 [N]    feature occurrence counts (kFeaCount)
 
     @property
@@ -57,7 +63,7 @@ class FMState:
 
     @property
     def k(self) -> int:
-        return self.V.shape[1]
+        return self.V.shape[0]
 
 
 class FMUpdater:
@@ -74,10 +80,10 @@ class FMUpdater:
         k = p.V_dim
         key = jax.random.PRNGKey(seed)
         V = (
-            jax.random.uniform(key, (num_rows, k), jnp.float32, -1.0, 1.0)
+            jax.random.uniform(key, (k, num_rows), jnp.float32, -1.0, 1.0)
             * p.V_init_scale
             if k > 0
-            else jnp.zeros((num_rows, 0), jnp.float32)
+            else jnp.zeros((0, num_rows), jnp.float32)
         )
         def zeros():
             # distinct buffers: donation forbids aliased arguments
@@ -97,7 +103,7 @@ class FMUpdater:
         v = valid.astype(jnp.float32)
         w = state.w[idx] * v
         active = self._active(state, idx, valid)
-        V = state.V[idx] * active[:, None].astype(jnp.float32)
+        V = state.V[:, idx].T * active[:, None].astype(jnp.float32)
         return jnp.concatenate([w[:, None], V], axis=1)
 
     def _active(self, state: FMState, uids, valid):
@@ -170,9 +176,9 @@ class FMUpdater:
             active = valid & (cnt_pre >= p.V_threshold)
             if p.tail_feature_filter > 0:
                 active = active & (cnt_pre >= p.tail_feature_filter)
-            gV = grads[:, 1:]
-            V_u = state.V[uids]
-            nV_u = state.nV[uids]
+            gV = grads[:, 1:].T            # planar [K, U]
+            V_u = state.V[:, uids]
+            nV_u = state.nV[:, uids]
             if p.V_updater == "adagrad":
                 gV_r = gV + p.V_l2 * V_u
                 nV_new = nV_u + gV_r * gV_r
@@ -180,13 +186,13 @@ class FMUpdater:
             else:  # sgd
                 nV_new = nV_u
                 V_new = V_u - p.V_lr_eta * (gV + p.V_l2 * V_u)
-            mV = active[:, None].astype(jnp.float32)
+            mV = active[None, :].astype(jnp.float32)
             state = FMState(
                 w=state.w,
                 z=state.z,
                 n=state.n,
-                V=state.V.at[uids].add(mV * (V_new - V_u)),
-                nV=state.nV.at[uids].add(mV * (nV_new - nV_u)),
+                V=state.V.at[:, uids].add(mV * (V_new - V_u)),
+                nV=state.nV.at[:, uids].add(mV * (nV_new - nV_u)),
                 cnt=state.cnt,
             )
         return state

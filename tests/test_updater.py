@@ -85,18 +85,18 @@ def test_v_activation_gating():
     g = jnp.ones((1, 5), jnp.float32) * 0.1
     # batch 1: cnt 0 -> 1 (< threshold): no V update
     state = upd.update(state, uids, g, jnp.ones(1), valid)
-    np.testing.assert_array_equal(np.asarray(state.V)[3], V0[3])
+    np.testing.assert_array_equal(np.asarray(state.V)[:, 3], V0[:, 3])
     # batch 2: cnt 1 -> 2 (crosses): still no V update this batch
     state = upd.update(state, uids, g, jnp.ones(1), valid)
-    np.testing.assert_array_equal(np.asarray(state.V)[3], V0[3])
+    np.testing.assert_array_equal(np.asarray(state.V)[:, 3], V0[:, 3])
     # pull now returns the initialized V (activated)
     rows = np.asarray(upd.pull(state, uids, valid))
-    np.testing.assert_allclose(rows[0, 1:], V0[3], rtol=1e-6)
+    np.testing.assert_allclose(rows[0, 1:], V0[:, 3], rtol=1e-6)
     # batch 3: active: V updates
     state = upd.update(state, uids, g, jnp.ones(1), valid)
-    assert (np.asarray(state.V)[3] != V0[3]).any()
+    assert (np.asarray(state.V)[:, 3] != V0[:, 3]).any()
     # untouched rows keep their init
-    np.testing.assert_array_equal(np.asarray(state.V)[4], V0[4])
+    np.testing.assert_array_equal(np.asarray(state.V)[:, 4], V0[:, 4])
 
 
 def test_adagrad_w():
