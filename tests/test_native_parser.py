@@ -1,0 +1,73 @@
+"""Native (C++) libsvm parser tests (reference: dmlc-core parser tests).
+
+Builds the extension on first run; skips if no toolchain is available.
+"""
+
+import numpy as np
+import pytest
+
+from difacto_tpu.data import _native
+from difacto_tpu.data.libsvm import parse_libsvm_numpy
+
+
+@pytest.fixture(scope="module")
+def native():
+    if not _native.available():
+        from difacto_tpu.data.build_ext import build
+
+        if build(verbose=False) is None:
+            pytest.skip("no C++ toolchain")
+        _native._TRIED = False  # re-probe
+        _native._LIB = None
+    assert _native.available()
+    return _native
+
+
+def test_golden(native):
+    blk = native.parse_libsvm(b"1 0:1.5 7:2\n0 3:1\n# c\n\n-1 2:-1e-2\n")
+    np.testing.assert_array_equal(blk.labels, [1, 0, -1])
+    np.testing.assert_array_equal(blk.indptr, [0, 2, 3, 4])
+    np.testing.assert_array_equal(blk.indices, [0, 7, 3, 2])
+    np.testing.assert_allclose(blk.values, [1.5, 2.0, 1.0, -0.01], rtol=1e-6)
+
+
+def test_bare_index_means_one(native):
+    blk = native.parse_libsvm(b"1 5 9:2.5 11\n")
+    np.testing.assert_array_equal(blk.indices, [5, 9, 11])
+    np.testing.assert_allclose(blk.values, [1.0, 2.5, 1.0])
+
+
+def test_uint64_ids(native):
+    blk = native.parse_libsvm(b"0 18446744073709551615:1\n")
+    assert blk.indices[0] == np.uint64(18446744073709551615)
+
+
+def test_matches_numpy_engine(native):
+    from difacto_tpu.data.synthetic import make_ctr_data, write_libsvm
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    b0 = make_ctr_data(2000, num_fields=8, vocab_per_field=200, seed=7)
+    path = os.path.join(tmp, "x.svm")
+    write_libsvm(b0, path)
+    data = open(path, "rb").read()
+    a = parse_libsvm_numpy(data)
+    b = native.parse_libsvm(data)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.indptr, b.indptr)
+    np.testing.assert_array_equal(a.indices, b.indices)
+    np.testing.assert_allclose(a.values, b.values, rtol=1e-6)
+
+
+def test_multithreaded_consistency(native):
+    text = b"".join(b"1 %d:1 %d:2\n" % (i, i * 7 + 1) for i in range(5000))
+    a = native.parse_libsvm(text, nthreads=1)
+    b = native.parse_libsvm(text, nthreads=8)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.indptr, b.indptr)
+    np.testing.assert_array_equal(a.indices, b.indices)
+
+
+def test_malformed_returns_error(native):
+    with pytest.raises(ValueError):
+        native.parse_libsvm(b"not a number at all\n")
