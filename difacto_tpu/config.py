@@ -154,3 +154,12 @@ class Config:
         if rest:
             raise ValueError(f"unknown config keys: {[k for k, _ in rest]}")
         return cfg
+
+    def effective_model_param(self) -> FMParam:
+        """The FMParam the updater/table actually uses. For loss=ffm the
+        per-feature factor payload is F*k (F = max_nnz_per_row: slot
+        position is the field), stored in the same planar table."""
+        p = dataclasses.replace(self.model)
+        if self.learner.loss == "ffm":
+            p.V_dim = self.model.V_dim * self.data.max_nnz_per_row
+        return p

@@ -46,7 +46,8 @@ def _merge_metrics(a, b):
 class SGDLearner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.updater = FMUpdater(cfg.model)
+        # ffm stores F*k factors per feature in the same planar table
+        self.updater = FMUpdater(cfg.effective_model_param())
         self.store = make_store(self.updater, cfg)
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []

@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..models.losses import fm_loss_grad
+from ..models.losses import ffm_loss_grad, fm_loss_grad
 from ..ops.localize import Localized
 from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
 
@@ -41,18 +41,25 @@ def worker_grads(
     vals: jnp.ndarray,     # f32 [B, L]
     labels: jnp.ndarray,   # f32 [B] in {0,1}
     mask: jnp.ndarray,     # f32 [B]
+    loss: str = "fm",      # fm | ffm (fm with K=0 == logit)
 ) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
     """Compute per-unique-id aggregated gradients and batch metrics.
 
-    Returns (grads_u [U, 1+K], py [B], metrics).
+    Returns (grads_u [U, 1+K], py [B], metrics). For ffm, K = F*k with
+    F == L (slot position is the field).
     """
     B, L = vals.shape
     U, D = rows_u.shape
     K = D - 1
     rows = rows_u[loc.inv].reshape(B, L, D)
     W = rows[..., 0]
-    V = rows[..., 1:]
-    fwd, g = fm_loss_grad(vals, W, V, labels, mask)
+    if loss == "ffm":
+        assert K % L == 0, "ffm rows must be [U, 1 + L*k]"
+        V4 = rows[..., 1:].reshape(B, L, L, K // L)
+        fwd, g = ffm_loss_grad(vals, W, V4, labels, mask)
+    else:
+        V = rows[..., 1:]
+        fwd, g = fm_loss_grad(vals, W, V, labels, mask)
     flat = jnp.concatenate(
         [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
     )

@@ -94,3 +94,36 @@ def fm_loss_grad(
         # d py / d V_ik = x_i * (S_k - x_i V_ik)
         dV = d[:, None, None] * vals[:, :, None] * (fwd.S[:, None, :] - vals[:, :, None] * V)
     return fwd, FMGrads(dW, dV, loss, correct)
+
+
+def ffm_loss_grad(
+    vals: jnp.ndarray,     # f32 [B, L]
+    W: jnp.ndarray,        # f32 [B, L]
+    V4: jnp.ndarray,       # f32 [B, L, F, K] with F == L (slot position = field)
+    labels01: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> tuple[FMForward, FMGrads]:
+    """Field-aware FM: py = <w,x> + sum_{i<j} x_i x_j <V_i[f_j], V_j[f_i]>.
+
+    No reference counterpart file (difacto ships FM only; FFM is the
+    BASELINE.json stretch config). Fields are slot positions — exact for
+    fixed-schema CTR data (Criteo/Avazu style, one feature per field per
+    row); rows are padded/truncated to L slots so F == L statically.
+
+    Cost is O(B L^2 K) versus FM's O(B L K) — the classic FFM tradeoff;
+    keep batch_size * L^2 * K sized to fit HBM.
+    """
+    B, L = vals.shape
+    K = V4.shape[-1]
+    linear = jnp.sum(vals * W, axis=-1)
+    # Vt[b, i, j] = V4[b, j, i]: the j-th feature's factor for field i
+    Vt = jnp.swapaxes(V4, 1, 2)
+    T = jnp.sum(V4 * Vt, axis=-1)                      # [B, L, L], symmetric
+    M = vals[:, :, None] * vals[:, None, :]            # [B, L, L]
+    offdiag = 1.0 - jnp.eye(L, dtype=vals.dtype)
+    py = linear + 0.5 * jnp.sum(M * T * offdiag, axis=(1, 2))
+    d, loss, correct = logit_grad_coeff(py, labels01, mask)
+    dW = vals * d[:, None]
+    dV4 = d[:, None, None, None] * (M * offdiag)[..., None] * Vt
+    fwd = FMForward(py, jnp.zeros((B, 0), vals.dtype))
+    return fwd, FMGrads(dW, dV4, loss, correct)

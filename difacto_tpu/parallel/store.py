@@ -68,6 +68,7 @@ class LocalStore:
         self.pallas = _use_pallas(cfg) or interpret
         self.interpret = interpret
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
+        self.loss = cfg.learner.loss
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
 
@@ -104,7 +105,9 @@ class LocalStore:
             )
         else:
             rows_u = self.updater.pull(state, loc.uids, loc.valid)
-        grads_u, py, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        grads_u, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
         return loc, grads_u, py, metrics
 
     def _step(self, state, ids, vals, labels, mask):
@@ -158,6 +161,7 @@ class ShardedStore:
         )
         local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or local_nnz
+        self.loss = cfg.learner.loss
         # per-(src,dst) all_to_all slot capacity
         perfect = (self.unique_size + self.S - 1) // self.S
         self.capacity = _round_up(
@@ -291,14 +295,18 @@ class ShardedStore:
     def _step(self, state, ids, vals, labels, mask):
         loc = localize(ids, self.num_rows, self.unique_size)
         rows_u, ctx, dropped = self._pull(state, loc)
-        grads_u, _, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        grads_u, _, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
         state = self._push(state, loc, grads_u, ctx)
         return state, self._psum_metrics(metrics, dropped)
 
     def _eval(self, state, ids, vals, labels, mask):
         loc = localize(ids, self.num_rows, self.unique_size)
         rows_u, _, dropped = self._pull(state, loc)
-        _, py, metrics = worker_grads(rows_u, loc, vals, labels, mask)
+        _, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
         return self._psum_metrics(metrics, dropped), py
 
     def _count(self, state, ids):

@@ -1,0 +1,90 @@
+"""FFM loss tests (BASELINE.json config 5; no reference counterpart file —
+difacto ships FM only, FFM is the stretch variant)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difacto_tpu.config import Config
+from difacto_tpu.models.losses import ffm_loss_grad
+
+
+def _rand(B=3, L=5, K=2, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=(B, L)).astype(np.float32)
+    vals[0, -1] = 0.0
+    W = rng.normal(size=(B, L)).astype(np.float32)
+    V4 = rng.normal(size=(B, L, L, K)).astype(np.float32)
+    y = (rng.random(B) > 0.5).astype(np.float32)
+    m = np.ones(B, np.float32)
+    return vals, W, V4, y, m
+
+
+def brute_force_ffm(vals, W, V4):
+    B, L = vals.shape
+    out = np.zeros(B)
+    for b in range(B):
+        out[b] = float(np.dot(vals[b], W[b]))
+        for i in range(L):
+            for j in range(i + 1, L):
+                out[b] += vals[b, i] * vals[b, j] * float(
+                    np.dot(V4[b, i, j], V4[b, j, i])
+                )
+    return out
+
+
+def test_ffm_predict_matches_pairwise():
+    vals, W, V4, y, m = _rand()
+    fwd, _ = ffm_loss_grad(*map(jnp.asarray, (vals, W, V4, y, m)))
+    np.testing.assert_allclose(np.asarray(fwd.py), brute_force_ffm(vals, W, V4), rtol=1e-4)
+
+
+def test_ffm_grads_finite_difference():
+    vals, W, V4, y, m = _rand(seed=3)
+    _, g = ffm_loss_grad(*map(jnp.asarray, (vals, W, V4, y, m)))
+    eps = 1e-3
+
+    def total(V4x):
+        _, gg = ffm_loss_grad(
+            jnp.asarray(vals), jnp.asarray(W), jnp.asarray(V4x),
+            jnp.asarray(y), jnp.asarray(m),
+        )
+        return float(np.sum(np.asarray(gg.loss)))
+
+    for (b, i, f, k) in [(0, 0, 1, 0), (1, 2, 3, 1), (2, 4, 0, 0)]:
+        Vp = V4.copy(); Vp[b, i, f, k] += eps
+        Vm = V4.copy(); Vm[b, i, f, k] -= eps
+        fd = (total(Vp) - total(Vm)) / (2 * eps)
+        an = float(np.asarray(g.dV)[b, i, f, k])
+        assert abs(fd - an) < 5e-2 * max(1.0, abs(fd)), (b, i, f, k)
+
+
+def test_effective_param_scaling():
+    cfg = Config.from_kwargs(
+        [("loss", "ffm"), ("V_dim", "2"), ("max_nnz_per_row", "8")]
+    )
+    assert cfg.effective_model_param().V_dim == 16
+    cfg2 = Config.from_kwargs([("V_dim", "2"), ("max_nnz_per_row", "8")])
+    assert cfg2.effective_model_param().V_dim == 2
+
+
+def test_ffm_end_to_end_learns(tmp_path):
+    from difacto_tpu.data.synthetic import make_ctr_data, write_libsvm
+    from difacto_tpu.learners.sgd import SGDLearner
+
+    tr = make_ctr_data(4000, num_fields=6, vocab_per_field=100, seed=1)
+    va = make_ctr_data(1000, num_fields=6, vocab_per_field=100, seed=2)
+    write_libsvm(tr, str(tmp_path / "tr.svm"))
+    write_libsvm(va, str(tmp_path / "va.svm"))
+    cfg = Config.from_kwargs(
+        [
+            ("data_in", str(tmp_path / "tr.svm")),
+            ("data_val", str(tmp_path / "va.svm")),
+            ("batch_size", "512"), ("num_bits", "13"), ("max_nnz_per_row", "6"),
+            ("V_dim", "2"), ("loss", "ffm"), ("max_num_epochs", "8"),
+            ("lr_eta", "0.1"), ("l1", "0.1"), ("V_lr_eta", "0.05"),
+            ("report_interval", "0"), ("store", "local"),
+        ]
+    )
+    prog = SGDLearner(cfg).run()
+    assert prog.exact_auc > 0.57, prog.exact_auc
