@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
         print(Config())
         return 0
     _apply_platform_env()
+    from .parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     kwargs = arg_parser.parse(argv)
     cfg = Config.from_kwargs(kwargs)
     if not cfg.data.data_in:

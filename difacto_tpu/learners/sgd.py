@@ -64,13 +64,19 @@ class SGDLearner:
 
     def _iter(self, uri: str, shuffle: bool) -> ThreadedIter[Batch]:
         d = self.cfg.data
+        # multi-host: each process reads a disjoint byte-range part of
+        # every file (the dmlc InputSplit contract)
+        import jax as _jax
+
+        part, nparts = _jax.process_index(), _jax.process_count()
         it = BatchIter(
             uri,
             batch_size=d.batch_size,
             max_nnz=d.max_nnz_per_row,
             num_bits=d.num_bits,
             data_format=d.data_format,
-            num_parts=1,
+            part_index=part,
+            num_parts=max(nparts, d.num_parts_per_file) if nparts > 1 else 1,
             shuffle=shuffle and d.shuffle,
             seed=d.seed,
         )
@@ -89,19 +95,24 @@ class SGDLearner:
         log.info("count pass done (%d batches)", n)
 
     def train_epoch(self, epoch: int) -> Progress:
+        from ..utils.tracing import profile_region
+
         prog = Progress()
         self.reporter.reset()
         acc = None
         step = 0
-        for batch in self._iter(self.cfg.data.data_in, shuffle=True):
-            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
-            self.state, metrics = self.store.train_step(self.state, *args)
-            acc = metrics if acc is None else _merge_metrics(acc, metrics)
-            step += 1
-            if self.reporter.interval > 0 and step % self.reporter.interval == 0:
-                self._fold(prog, acc)
-                acc = None
-                self.reporter.maybe_report(step, prog, prefix=f"epoch {epoch} ")
+        with profile_region(f"train_epoch_{epoch}"):
+            for batch in self._iter(self.cfg.data.data_in, shuffle=True):
+                args = self.store.shard_batch(
+                    batch.ids, batch.vals, batch.labels, batch.mask
+                )
+                self.state, metrics = self.store.train_step(self.state, *args)
+                acc = metrics if acc is None else _merge_metrics(acc, metrics)
+                step += 1
+                if self.reporter.interval > 0 and step % self.reporter.interval == 0:
+                    self._fold(prog, acc)
+                    acc = None
+                    self.reporter.maybe_report(step, prog, prefix=f"epoch {epoch} ")
         if acc is not None:
             self._fold(prog, acc)
         st = self.store.stats(self.state)
