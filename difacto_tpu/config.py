@@ -73,6 +73,7 @@ class DataParam(ParamBase):
     num_parts_per_file: int = 1    # split each file into N parts (InputSplit)
     max_nnz_per_row: int = 64      # pad/truncate each example to this nnz
     num_bits: int = 22             # hashed feature space = 2**num_bits rows
+    host_localize: bool = True     # dedup ids in the prefetch thread
     seed: int = 0
 
     def validate(self) -> None:

@@ -49,6 +49,11 @@ class SGDLearner:
         # ffm stores F*k factors per feature in the same planar table
         self.updater = FMUpdater(cfg.effective_model_param())
         self.store = make_store(self.updater, cfg)
+        from ..parallel.store import LocalStore
+
+        self._host_localize = bool(cfg.data.host_localize) and isinstance(
+            self.store, LocalStore
+        )
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
         self._epoch = 0
@@ -62,7 +67,7 @@ class SGDLearner:
 
     # -- data ---------------------------------------------------------------
 
-    def _iter(self, uri: str, shuffle: bool) -> ThreadedIter[Batch]:
+    def _iter(self, uri: str, shuffle: bool, localize: bool | None = None) -> ThreadedIter[Batch]:
         d = self.cfg.data
         # multi-host: each process reads a disjoint byte-range part of
         # every file (the dmlc InputSplit contract)
@@ -80,7 +85,13 @@ class SGDLearner:
             shuffle=shuffle and d.shuffle,
             seed=d.seed,
         )
-        return ThreadedIter(iter(it), depth=4)
+        src = iter(it)
+        if self._host_localize if localize is None else localize:
+            from ..data.prep import prep_batch
+
+            num_rows = 1 << d.num_bits
+            src = (prep_batch(b, num_rows) for b in src)
+        return ThreadedIter(src, depth=4)
 
     # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------
 
@@ -88,7 +99,7 @@ class SGDLearner:
         """Feature-frequency pass before training (reference: the
         kFeaCount push pass enabling tail_feature_filter)."""
         n = 0
-        for batch in self._iter(self.cfg.data.data_in, shuffle=False):
+        for batch in self._iter(self.cfg.data.data_in, shuffle=False, localize=False):
             args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
             self.state = self.store.count_step(self.state, args[0])
             n += 1
@@ -103,10 +114,15 @@ class SGDLearner:
         step = 0
         with profile_region(f"train_epoch_{epoch}"):
             for batch in self._iter(self.cfg.data.data_in, shuffle=True):
-                args = self.store.shard_batch(
-                    batch.ids, batch.vals, batch.labels, batch.mask
-                )
-                self.state, metrics = self.store.train_step(self.state, *args)
+                if self._host_localize:
+                    self.state, metrics = self.store.train_step_prepped(
+                        self.state, batch
+                    )
+                else:
+                    args = self.store.shard_batch(
+                        batch.ids, batch.vals, batch.labels, batch.mask
+                    )
+                    self.state, metrics = self.store.train_step(self.state, *args)
                 acc = metrics if acc is None else _merge_metrics(acc, metrics)
                 step += 1
                 if self.reporter.interval > 0 and step % self.reporter.interval == 0:
@@ -127,8 +143,13 @@ class SGDLearner:
         ys: list[np.ndarray] = []
         collected = 0
         for batch in self._iter(uri, shuffle=False):
-            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
-            metrics, py = self.store.eval_step(self.state, *args)
+            if self._host_localize:
+                metrics, py = self.store.eval_step_prepped(self.state, batch)
+            else:
+                args = self.store.shard_batch(
+                    batch.ids, batch.vals, batch.labels, batch.mask
+                )
+                metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
             if collected < _EXACT_AUC_CAP:
                 keep = batch.mask > 0
@@ -191,8 +212,13 @@ class SGDLearner:
         (reference: the validation/pred flow with model_in + no training)."""
         pys, ys = [], []
         for batch in self._iter(uri, shuffle=False):
-            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
-            _, py = self.store.eval_step(self.state, *args)
+            if self._host_localize:
+                _, py = self.store.eval_step_prepped(self.state, batch)
+            else:
+                args = self.store.shard_batch(
+                    batch.ids, batch.vals, batch.labels, batch.mask
+                )
+                _, py = self.store.eval_step(self.state, *args)
             keep = batch.mask > 0
             pys.append(np.asarray(py)[keep])
             ys.append(batch.labels[keep])

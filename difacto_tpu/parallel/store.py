@@ -71,6 +71,8 @@ class LocalStore:
         self.loss = cfg.learner.loss
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
+        self._jit_prepped_step = jax.jit(self._prepped_step, donate_argnums=0)
+        self._jit_prepped_eval = jax.jit(self._prepped_eval)
 
     def init_state(self, seed: int = 0) -> FMState:
         return self.updater.init_state(self.num_rows, seed)
@@ -129,6 +131,60 @@ class LocalStore:
     def _eval(self, state, ids, vals, labels, mask):
         _, _, py, metrics = self._pull_compute(state, ids, vals, labels, mask)
         return metrics, py
+
+    # -- host-localized path (data/prep.py): the Localizer ran on worker
+    # CPUs in the reference too; skipping the on-device unique both saves
+    # its cost and shrinks U to the batch's actual unique count ----------
+
+    def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        if self.pallas:
+            from ..ops.sweep import sweep_pull
+
+            rows_u = sweep_pull(
+                state, loc.uids, loc.valid, self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            rows_u = self.updater.pull(state, loc.uids, loc.valid)
+        grads_u, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
+        return loc, grads_u, py, metrics
+
+    def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+        loc, grads_u, _, metrics = self._prepped_pull_compute(
+            state, vals, labels, mask, uids, ucounts, inv, valid
+        )
+        if self.pallas:
+            from ..ops.sweep import sweep_apply
+
+            state = sweep_apply(
+                state, loc.uids, grads_u, loc.counts, loc.valid,
+                self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            state = self.updater.update(
+                state, loc.uids, grads_u, loc.counts, loc.valid
+            )
+        return state, metrics
+
+    def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+        _, _, py, metrics = self._prepped_pull_compute(
+            state, vals, labels, mask, uids, ucounts, inv, valid
+        )
+        return metrics, py
+
+    def train_step_prepped(self, state, pb):
+        return self._jit_prepped_step(
+            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
+        )
+
+    def eval_step_prepped(self, state, pb):
+        return self._jit_prepped_eval(
+            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
+        )
 
     def stats(self, state):
         return jax.jit(self.updater.stats)(state)

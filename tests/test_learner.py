@@ -86,3 +86,16 @@ def test_cli_main(data, tmp_path):
         "max_nnz_per_row = 12\nmax_num_epochs = 1\nreport_interval = 0\n"
     )
     assert main([str(conf), "V_dim=2"]) == 0
+
+
+def test_host_localize_matches_device_localize(data):
+    """data/prep.py host dedup must reproduce the on-device localize path
+    exactly (it replaces ops/localize.py in the default local config)."""
+    a = SGDLearner(_cfg(data, max_num_epochs=2, store="local", host_localize="true"))
+    assert a._host_localize
+    pa = a.run()
+    b = SGDLearner(_cfg(data, max_num_epochs=2, store="local", host_localize="false"))
+    assert not b._host_localize
+    pb = b.run()
+    assert pa.exact_auc == pb.exact_auc
+    np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-7)
