@@ -201,7 +201,13 @@ class ShardedStore:
     analog (sharded sparse table + all_to_all).
     """
 
-    def __init__(self, updater: FMUpdater, cfg: Config, mesh: Mesh | None = None):
+    def __init__(
+        self,
+        updater: FMUpdater,
+        cfg: Config,
+        mesh: Mesh | None = None,
+        interpret: bool = False,
+    ):
         self.updater = updater
         self.cfg = cfg
         if mesh is None:
@@ -212,6 +218,9 @@ class ShardedStore:
         self.num_rows = 1 << cfg.data.num_bits
         assert self.num_rows % self.S == 0, "table rows must divide num_shards"
         self.rows_per_shard = self.num_rows // self.S
+        self.pallas = _use_pallas(cfg) or interpret
+        self.interpret = interpret
+        self.block_rows = min(cfg.shard.block_rows, self.rows_per_shard)
         assert cfg.data.batch_size % self.S == 0, (
             f"batch_size {cfg.data.batch_size} must divide num_shards {self.S}"
         )
@@ -235,6 +244,7 @@ class ShardedStore:
         train = jax.shard_map(
             self._step,
             mesh=self.mesh,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
             in_specs=(state_spec,) + batch_specs,
             out_specs=(state_spec, metrics_spec),
         )
@@ -242,6 +252,7 @@ class ShardedStore:
         evalf = jax.shard_map(
             self._eval,
             mesh=self.mesh,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
             in_specs=(state_spec,) + batch_specs,
             out_specs=(metrics_spec, P("shard")),
         )
@@ -249,6 +260,7 @@ class ShardedStore:
         countf = jax.shard_map(
             self._count,
             mesh=self.mesh,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
             in_specs=(state_spec, P("shard", None)),
             out_specs=state_spec,
         )
@@ -340,6 +352,16 @@ class ShardedStore:
             .at[oinv]
             .add(recv * rvalid[:, None].astype(recv.dtype))
         )
+        # ouids from jnp.unique are sorted+unique — exactly the contract of
+        # the Pallas apply sweep, which runs per shard on the local table
+        if self.pallas:
+            from ..ops.sweep import sweep_apply
+
+            return sweep_apply(
+                state, ouids.astype(jnp.int32), agg[:, :D], agg[:, D], ovalid,
+                self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
         return self.updater.update(
             state, ouids.astype(jnp.int32), agg[:, :D], agg[:, D], ovalid
         )
@@ -404,14 +426,16 @@ class ShardedStore:
         return jax.jit(self.updater.stats)(state)
 
 
-def make_store(updater: FMUpdater, cfg: Config, mesh: Mesh | None = None):
+def make_store(
+    updater: FMUpdater, cfg: Config, mesh: Mesh | None = None, interpret: bool = False
+):
     """Store::Create (reference: picks StoreLocal vs StoreDist from env)."""
     kind = cfg.shard.store
     if kind == "auto":
         n = cfg.shard.num_shards or len(jax.devices())
         kind = "sharded" if n > 1 else "local"
     if kind == "local":
-        return LocalStore(updater, cfg)
+        return LocalStore(updater, cfg, interpret=interpret)
     if kind == "sharded":
-        return ShardedStore(updater, cfg, mesh)
+        return ShardedStore(updater, cfg, mesh, interpret=interpret)
     raise ValueError(f"unknown store {kind!r}")

@@ -112,3 +112,29 @@ def test_localstore_pallas_path_end_to_end():
         b = np.asarray(getattr(jax.device_get(s2), name))
         np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
     np.testing.assert_allclose(float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-5)
+
+
+def test_sharded_pallas_apply_matches_xla():
+    """Owner-side sweep_apply inside shard_map (per-shard local tables)
+    must match the XLA sharded path."""
+    import jax
+
+    from difacto_tpu.parallel.store import ShardedStore
+
+    cfg = Config.from_kwargs(
+        [("batch_size", "256"), ("num_bits", "13"), ("max_nnz_per_row", "16"), ("V_dim", "4")]
+    )
+    upd = FMUpdater(cfg.model)
+    blk = make_ctr_data(512, num_fields=12, vocab_per_field=400, seed=1)
+    batches = list(rowblock_to_batches(blk, 256, 16, 13))
+    a = ShardedStore(upd, cfg)
+    b = ShardedStore(upd, cfg, interpret=True)
+    assert b.pallas and not a.pallas
+    s1, s2 = a.init_state(0), b.init_state(0)
+    for bb in batches:
+        s1, _ = a.train_step(s1, *a.shard_batch(bb.ids, bb.vals, bb.labels, bb.mask))
+        s2, _ = b.train_step(s2, *b.shard_batch(bb.ids, bb.vals, bb.labels, bb.mask))
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        x = np.asarray(getattr(jax.device_get(s1), name))
+        y = np.asarray(getattr(jax.device_get(s2), name))
+        np.testing.assert_allclose(x, y, atol=1e-4, err_msg=name)
