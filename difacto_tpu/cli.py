@@ -65,8 +65,37 @@ def main(argv: list[str] | None = None) -> int:
     cfg = Config.from_kwargs(kwargs)
     if not cfg.data.data_in:
         raise SystemExit("data_in is required")
+    if cfg.learner.task == "predict":
+        return run_predict(cfg)
     learner = create_learner(cfg)
     learner.run()
+    return 0
+
+
+def run_predict(cfg: Config) -> int:
+    """Batch prediction (reference: the model_in + pred_out flow —
+    same binary, no training jobs). Scores are raw margins py; apply a
+    sigmoid for probabilities."""
+    import numpy as np
+
+    if not cfg.learner.model_in:
+        raise SystemExit("task=predict requires model_in")
+    from .learners.sgd import SGDLearner
+    from .ops.metrics import exact_auc, logloss
+
+    cfg.learner.max_num_epochs = 0
+    learner = create_learner(cfg)
+    py, labels = learner.predict(cfg.data.data_in)
+    if cfg.learner.pred_out:
+        np.savetxt(cfg.learner.pred_out, py, fmt="%.6g")
+        logging.getLogger("difacto_tpu").info(
+            "wrote %d scores to %s", len(py), cfg.learner.pred_out
+        )
+    if len(set(np.asarray(labels) > 0)) > 1:
+        logging.getLogger("difacto_tpu").info(
+            "predict: #ex %d  logloss %.6f  auc %.6f",
+            len(py), logloss(labels, py), exact_auc(labels, py),
+        )
     return 0
 
 

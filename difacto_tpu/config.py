@@ -116,6 +116,8 @@ class LearnerParam(ParamBase):
 
     learner: str = "sgd"           # sgd | bcd
     loss: str = "fm"               # fm | logit | ffm
+    task: str = "train"            # train | predict (predict needs model_in)
+    pred_out: str = ""             # write raw margins here when task=predict
     max_num_epochs: int = 1
     model_out: str = ""            # checkpoint path prefix
     model_in: str = ""             # warm-start checkpoint

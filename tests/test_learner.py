@@ -99,3 +99,21 @@ def test_host_localize_matches_device_localize(data):
     pb = b.run()
     assert pa.exact_auc == pb.exact_auc
     np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-7)
+
+
+def test_predict_task_cli(data, tmp_path):
+    """task=predict with model_in + pred_out (reference: the same-binary
+    prediction flow); scores must reproduce validation metrics."""
+    from difacto_tpu.cli import main
+
+    SGDLearner(_cfg(data, max_num_epochs=1, model_out=str(tmp_path / "m"))).run()
+    out = tmp_path / "scores.txt"
+    rc = main([
+        "task=predict", f"model_in={tmp_path/'m'}",
+        f"data_in={data/'val.svm'}", "batch_size=512", "num_bits=16",
+        "max_nnz_per_row=12", "V_dim=8", f"pred_out={out}", "store=local",
+    ])
+    assert rc == 0
+    scores = np.loadtxt(out)
+    assert len(scores) == 2000
+    assert np.isfinite(scores).all()
