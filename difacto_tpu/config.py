@@ -139,6 +139,11 @@ class ShardParam(ParamBase):
     unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
     kernel: str = "auto"           # pallas | xla | auto (pallas on TPU)
     block_rows: int = 1024         # table rows per sweep-kernel block
+    pipeline: str = "auto"         # simple | sorted | auto: the sorted
+                                   # pipeline (chunk-sorted slots, fused
+                                   # kernels, no per-batch unique) needs
+                                   # pallas + loss=fm + local store
+    chunk_rows: int = 2048         # examples per sorted-pipeline row chunk
 
 
 @dataclass

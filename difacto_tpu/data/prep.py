@@ -50,6 +50,83 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS) -> int:
     return n  # pathological: exact size (recompile)
 
 
+@dataclass
+class SortedBatch:
+    """Chunk-sorted slot layout for the fully-fused Pallas pipeline.
+
+    The batch's B*L slots are grouped into row-chunks of ``chunk_rows``
+    examples; within each chunk, slots are sorted by hashed id (padding
+    slots carry the sentinel ``num_rows`` and sort last). This gives:
+
+      * per-chunk sorted id streams -> the sweep kernels gather/apply
+        with contiguous per-table-block slices and NO per-batch unique
+        (their one-hot matmuls aggregate duplicates in-kernel);
+      * rows local to a chunk -> the fused FM kernel's one-hot
+        row-aggregation windows over ``chunk_rows`` examples.
+
+    ``offsets[s, b]`` is the absolute position in the flat sorted arrays
+    of the first slot of stream s owned by table block b (given the
+    store's block_rows), i.e. the reference's KVMatch/key-range seam
+    computed on the host.
+    """
+
+    svals: np.ndarray    # f32 [NNZ] values in chunk-sorted order
+    srow: np.ndarray     # i32 [NNZ] global example row of each slot
+    sid: np.ndarray      # i32 [NNZ] hashed id (num_rows sentinel for pads)
+    offsets: np.ndarray  # i32 [num_chunks, nb+1]
+    labels: np.ndarray   # f32 [B]
+    mask: np.ndarray     # f32 [B]
+    chunk_rows: int
+
+    @property
+    def num_examples(self) -> int:
+        return int(self.mask.sum())
+
+
+def prep_batch_sorted(
+    batch: Batch,
+    num_rows: int,
+    block_rows: int,
+    chunk_rows: int = 2048,
+    stream_pad: int = 64,
+) -> SortedBatch:
+    """``stream_pad`` sentinel slots terminate each stream: the sweep
+    kernels write fixed-capacity chunks whose masked-zero tail may spill
+    up to CAP slots forward, and block-major execution only guarantees
+    forward order WITHIN a stream — the pad absorbs cross-stream spill."""
+    b, l = batch.ids.shape
+    chunk_rows = min(chunk_rows, b)
+    assert b % chunk_rows == 0, "batch_size must be a multiple of chunk_rows"
+    nchunks = b // chunk_rows
+    ids = np.where(batch.ids < 0, num_rows, batch.ids).astype(np.int64)
+    nb = num_rows // block_rows
+    boundaries = np.arange(nb + 1, dtype=np.int64) * block_rows
+    q = chunk_rows * l
+    qp = q + stream_pad
+    svals = np.zeros(nchunks * qp, np.float32)
+    srow = np.empty(nchunks * qp, np.int32)
+    sid = np.full(nchunks * qp, num_rows, np.int32)
+    offsets = np.empty((nchunks, nb + 1), np.int32)
+    rows_global = np.repeat(np.arange(b, dtype=np.int32), l)
+    flat_ids = ids.reshape(-1)
+    flat_vals = batch.vals.reshape(-1)
+    for c in range(nchunks):
+        lo = c * q
+        sl = slice(lo, lo + q)
+        order = np.argsort(flat_ids[sl], kind="stable")
+        cid = flat_ids[sl][order]
+        po = c * qp
+        sid[po : po + q] = cid.astype(np.int32)
+        svals[po : po + q] = flat_vals[sl][order]
+        srow[po : po + q] = rows_global[sl][order]
+        srow[po + q : po + qp] = c * chunk_rows  # pad slots: any row in chunk
+        offsets[c] = po + np.searchsorted(cid, boundaries, side="left")
+    return SortedBatch(
+        svals=svals, srow=srow, sid=sid, offsets=offsets,
+        labels=batch.labels, mask=batch.mask, chunk_rows=chunk_rows,
+    )
+
+
 def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedBatch:
     """np.unique localization of one padded batch (reference:
     Localizer::Compact — sort, dedup, rewrite indices, count)."""

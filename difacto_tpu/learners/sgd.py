@@ -54,6 +54,18 @@ class SGDLearner:
         self._host_localize = bool(cfg.data.host_localize) and isinstance(
             self.store, LocalStore
         )
+        pl_mode = cfg.shard.pipeline
+        self._sorted = (
+            isinstance(self.store, LocalStore)
+            and getattr(self.store, "supports_sorted", False)
+            and pl_mode in ("auto", "sorted")
+            and pl_mode != "simple"
+        )
+        if pl_mode == "sorted" and not self._sorted:
+            raise ValueError(
+                "pipeline=sorted needs the local store with pallas kernels "
+                "and loss=fm"
+            )
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
         self._epoch = 0
@@ -86,10 +98,18 @@ class SGDLearner:
             seed=d.seed,
         )
         src = iter(it)
-        if self._host_localize if localize is None else localize:
+        num_rows = 1 << d.num_bits
+        if localize is False:
+            pass
+        elif self._sorted:
+            from ..data.prep import prep_batch_sorted
+
+            br = self.store.block_rows
+            cr = self.cfg.shard.chunk_rows
+            src = (prep_batch_sorted(b, num_rows, br, cr) for b in src)
+        elif self._host_localize if localize is None else localize:
             from ..data.prep import prep_batch
 
-            num_rows = 1 << d.num_bits
             src = (prep_batch(b, num_rows) for b in src)
         return ThreadedIter(src, depth=4)
 
@@ -114,7 +134,11 @@ class SGDLearner:
         step = 0
         with profile_region(f"train_epoch_{epoch}"):
             for batch in self._iter(self.cfg.data.data_in, shuffle=True):
-                if self._host_localize:
+                if self._sorted:
+                    self.state, metrics = self.store.train_step_sorted(
+                        self.state, batch
+                    )
+                elif self._host_localize:
                     self.state, metrics = self.store.train_step_prepped(
                         self.state, batch
                     )
@@ -143,7 +167,9 @@ class SGDLearner:
         ys: list[np.ndarray] = []
         collected = 0
         for batch in self._iter(uri, shuffle=False):
-            if self._host_localize:
+            if self._sorted:
+                metrics, py = self.store.eval_step_sorted(self.state, batch)
+            elif self._host_localize:
                 metrics, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(
@@ -212,7 +238,9 @@ class SGDLearner:
         (reference: the validation/pred flow with model_in + no training)."""
         pys, ys = [], []
         for batch in self._iter(uri, shuffle=False):
-            if self._host_localize:
+            if self._sorted:
+                _, py = self.store.eval_step_sorted(self.state, batch)
+            elif self._host_localize:
                 _, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(

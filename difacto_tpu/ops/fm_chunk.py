@@ -1,0 +1,200 @@
+"""Fused FM forward+backward over chunk-sorted slots (Pallas).
+
+Replaces the XLA expansion-gather + per-row reductions + gradient
+flattening of ``learners/step.py`` :: worker_grads for the sorted
+pipeline. Together with ``ops/sweep_ms.py`` this removes every
+per-element sparse op from the train step: the FM math
+(reference: ``src/loss/fm_loss.h` + ``src/common/spmv.h``/``spmm.h``)
+becomes tile DMAs + one-hot matmuls on the MXU.
+
+Layout: slots arrive sorted by id within row-chunks of ``chunk_rows``
+examples (data/prep.py :: SortedBatch), with per-slot pulled rows
+``rows_p [1+K, NNZ]`` from the pull sweep. Per chunk the kernel makes
+two passes over the chunk's slot tiles:
+
+  pass 1 (aggregate): acc[1+2K, R] += contrib @ onehot(row) — per-example
+      linear term, S_k = sum x V_k, and Q_k = sum x^2 V_k^2;
+  margin: py = lin + 1/2 sum_k (S^2 - Q); d = (sigma(py) - y) * mask;
+  pass 2 (scatter-back): d_slot = onehot @ d, S_slot = S @ onehot^T,
+      dW = x d_slot, dV = d_slot x (S_slot - x V) — written per slot in
+      the same sorted order, ready for the apply sweep.
+
+Padding slots (sentinel ids) carry x = 0 and masked rows, contributing
+exact zeros. Tile spill at chunk edges is overwritten by the next
+chunk's forward-ordered writes (same discipline as the sweeps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512
+
+
+def _fm_chunk_kernel(
+    svals_ref, srow_ref, sid_ref, rows_ref,   # ANY [NNZ(+pad)] / [1+K, ...]
+    labels_ref, mask_ref,                     # VMEM blocks [R]
+    py_ref,                                   # out VMEM block [R]
+    grads_ref,                                # out ANY [1+K, NNZ+TILE]
+    xv_s, xr_s, xi_s, rows_s, acc_ref, g_s,
+    sem_a, sem_b, sem_c, sem_d, sem_o,
+    *,
+    chunk_rows: int, qp: int, k: int, num_rows: int,
+):
+    c = pl.program_id(0)
+    base_slot = c * qp
+    base_row = c * chunk_rows
+    ntiles = (qp + TILE - 1) // TILE
+
+    def load_tile(t):
+        lo = base_slot + t * TILE
+        cps = [
+            pltpu.make_async_copy(svals_ref.at[pl.ds(lo, TILE)], xv_s, sem_a),
+            pltpu.make_async_copy(srow_ref.at[pl.ds(lo, TILE)], xr_s, sem_b),
+            pltpu.make_async_copy(sid_ref.at[pl.ds(lo, TILE)], xi_s, sem_c),
+            pltpu.make_async_copy(rows_ref.at[:, pl.ds(lo, TILE)], rows_s, sem_d),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    def tile_ctx(t):
+        """Masked tile values + one-hot row-selection matrix [TILE, R]."""
+        x = xv_s[:]
+        slot_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) < (qp - t * TILE)
+        )[:, 0]
+        valid = slot_ok & (xi_s[:] < num_rows)
+        x = jnp.where(valid, x, 0.0)
+        rows = jnp.where(valid[None, :], rows_s[:], 0.0)   # [1+K, TILE]
+        lr = jnp.where(valid, xr_s[:] - base_row, 0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk_rows), 1)
+        sel = jnp.where(
+            (lr[:, None] == r_iota) & valid[:, None], 1.0, 0.0
+        ).astype(jnp.float32)
+        return x, rows, sel, valid
+
+    # pass 1: accumulate [lin | S | Q] per example
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def p1(t, _):
+        load_tile(t)
+        x, rows, sel, _ = tile_ctx(t)
+        w = rows[0]
+        if k > 0:
+            v = rows[1:]
+            contrib = jnp.concatenate(
+                [(x * w)[None, :], x[None, :] * v, (x * x)[None, :] * v * v], axis=0
+            )
+        else:
+            contrib = (x * w)[None, :]
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            contrib, sel, preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, p1, 0)
+
+    acc = acc_ref[:]
+    lin = acc[0]
+    if k > 0:
+        s_acc = acc[1 : 1 + k]
+        q_acc = acc[1 + k :]
+        py = lin + 0.5 * jnp.sum(s_acc * s_acc - q_acc, axis=0)
+    else:
+        s_acc = acc[1:1, :]
+        py = lin
+    py_ref[:] = py
+    y = labels_ref[:]
+    d = (1.0 / (1.0 + jnp.exp(-py)) - y) * mask_ref[:]
+
+    # pass 2: per-slot gradients in sorted order
+    def p2(t, _):
+        load_tile(t)
+        x, rows, sel, _ = tile_ctx(t)
+        d_slot = jnp.dot(sel, d, preferred_element_type=jnp.float32)  # [TILE]
+        gw = x * d_slot
+        if k > 0:
+            v = rows[1:]
+            s_slot = jax.lax.dot_general(
+                s_acc, sel,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                          # [K, TILE]
+            gv = d_slot[None, :] * x[None, :] * (s_slot - x[None, :] * v)
+            g_s[:] = jnp.concatenate([gw[None, :], gv], axis=0)
+        else:
+            g_s[:] = gw[None, :]
+        lo = base_slot + t * TILE
+        cp = pltpu.make_async_copy(g_s, grads_ref.at[:, pl.ds(lo, TILE)], sem_o)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, p2, 0)
+
+
+def fm_chunk(
+    svals: jnp.ndarray,    # f32 [NNZ]
+    srow: jnp.ndarray,     # i32 [NNZ] global rows
+    sid: jnp.ndarray,      # i32 [NNZ]
+    rows_p: jnp.ndarray,   # f32 [1+K, NNZ] pulled per-slot rows (planar)
+    labels: jnp.ndarray,   # f32 [B]
+    mask: jnp.ndarray,     # f32 [B]
+    chunk_rows: int,
+    num_rows: int,
+    *,
+    interpret: bool = False,
+):
+    """Returns (py [B], grads_p [1+K, NNZ])."""
+    b = labels.shape[0]
+    nnz = sid.shape[0]
+    k = rows_p.shape[0] - 1
+    assert b % chunk_rows == 0
+    nchunks = b // chunk_rows
+    assert nnz % nchunks == 0, "slots must be evenly chunked (incl. stream pad)"
+    qp = nnz // nchunks
+
+    pad = TILE
+    svals_p = jnp.pad(svals, (0, pad))
+    srow_p = jnp.pad(srow, (0, pad))
+    sid_p = jnp.pad(sid, (0, pad), constant_values=num_rows)
+    rows_pp = jnp.pad(rows_p, ((0, 0), (0, pad)))
+
+    kern = functools.partial(
+        _fm_chunk_kernel, chunk_rows=chunk_rows, qp=qp, k=k, num_rows=num_rows
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    bspec = pl.BlockSpec((chunk_rows,), lambda i: (i,))
+    py, grads = pl.pallas_call(
+        kern,
+        grid=(nchunks,),
+        in_specs=[any_spec, any_spec, any_spec, any_spec, bspec, bspec],
+        out_specs=(bspec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b,), jnp.float32),
+            jax.ShapeDtypeStruct((1 + k, nnz + pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE,), jnp.float32),
+            pltpu.VMEM((TILE,), jnp.int32),
+            pltpu.VMEM((TILE,), jnp.int32),
+            pltpu.VMEM((1 + k, TILE), jnp.float32),
+            pltpu.VMEM((1 + 2 * k, chunk_rows), jnp.float32),
+            pltpu.VMEM((1 + k, TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(svals_p, srow_p, sid_p, rows_pp, labels, mask)
+    return py, grads[:, :nnz]

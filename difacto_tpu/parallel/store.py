@@ -73,6 +73,8 @@ class LocalStore:
         self.eval_step = jax.jit(self._eval)
         self._jit_prepped_step = jax.jit(self._prepped_step, donate_argnums=0)
         self._jit_prepped_eval = jax.jit(self._prepped_eval)
+        self._jit_sorted_step = jax.jit(self._sorted_step, donate_argnums=0)
+        self._jit_sorted_eval = jax.jit(self._sorted_eval)
 
     def init_state(self, seed: int = 0) -> FMState:
         return self.updater.init_state(self.num_rows, seed)
@@ -184,6 +186,74 @@ class LocalStore:
     def eval_step_prepped(self, state, pb):
         return self._jit_prepped_eval(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
+        )
+
+    # -- sorted pipeline (data/prep.py :: SortedBatch + ops/sweep_ms +
+    # ops/fm_chunk): no per-batch unique, no XLA sparse ops at all --------
+
+    @property
+    def supports_sorted(self) -> bool:
+        return self.pallas and self.loss == "fm"
+
+    def _sorted_step_impl(self, state, svals, srow, sid, offsets, labels, mask, train):
+        from ..models.losses import logit_grad_coeff
+        from ..ops.fm_chunk import fm_chunk
+        from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
+        from ..ops.sweep_ms import sweep_apply_ms, sweep_pull_ms
+
+        p = self.updater.param
+        rows_p = sweep_pull_ms(
+            state, sid, offsets, p,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        py, grads_p = fm_chunk(
+            svals, srow, sid, rows_p, labels, mask,
+            min(self.cfg.shard.chunk_rows, labels.shape[0]),
+            self.num_rows, interpret=self.interpret,
+        )
+        _, loss, correct = logit_grad_coeff(py, labels, mask)
+        metrics = StepMetrics(
+            examples=jnp.sum(mask),
+            logloss_sum=jnp.sum(loss),
+            correct_sum=jnp.sum(correct),
+            auc_hist=auc_hist_update(
+                jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
+            ),
+            dropped_ids=jnp.zeros((), jnp.float32),
+        )
+        if not train:
+            return state, metrics, py
+        vf = (sid < self.num_rows).astype(jnp.float32)
+        payload = jnp.concatenate(
+            [jnp.where(vf[None, :] > 0, grads_p, 0.0), vf[None, :], vf[None, :]],
+            axis=0,
+        )
+        state = sweep_apply_ms(
+            state, sid, payload, offsets, p,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return state, metrics, py
+
+    def _sorted_step(self, state, svals, srow, sid, offsets, labels, mask):
+        state, metrics, _ = self._sorted_step_impl(
+            state, svals, srow, sid, offsets, labels, mask, train=True
+        )
+        return state, metrics
+
+    def _sorted_eval(self, state, svals, srow, sid, offsets, labels, mask):
+        _, metrics, py = self._sorted_step_impl(
+            state, svals, srow, sid, offsets, labels, mask, train=False
+        )
+        return metrics, py
+
+    def train_step_sorted(self, state, sb):
+        return self._jit_sorted_step(
+            state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
+        )
+
+    def eval_step_sorted(self, state, sb):
+        return self._jit_sorted_eval(
+            state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
         )
 
     def stats(self, state):
