@@ -88,12 +88,12 @@ def prep_batch_sorted(
     num_rows: int,
     block_rows: int,
     chunk_rows: int = 2048,
-    stream_pad: int = 64,
+    stream_pad: int | None = None,
 ) -> SortedBatch:
-    """``stream_pad`` sentinel slots terminate each stream: the sweep
-    kernels write fixed-capacity chunks whose masked-zero tail may spill
-    up to CAP slots forward, and block-major execution only guarantees
-    forward order WITHIN a stream — the pad absorbs cross-stream spill."""
+    """``stream_pad`` sentinel slots terminate each stream so that every
+    stream's slot count is a multiple of 1024 — the Mosaic dynamic-slice
+    granularity the fused kernels' tile DMAs require (defaults to the
+    smallest such pad)."""
     b, l = batch.ids.shape
     chunk_rows = min(chunk_rows, b)
     assert b % chunk_rows == 0, "batch_size must be a multiple of chunk_rows"
@@ -102,6 +102,8 @@ def prep_batch_sorted(
     nb = num_rows // block_rows
     boundaries = np.arange(nb + 1, dtype=np.int64) * block_rows
     q = chunk_rows * l
+    if stream_pad is None:
+        stream_pad = (-q) % 1024 or 1024
     qp = q + stream_pad
     svals = np.zeros(nchunks * qp, np.float32)
     srow = np.empty(nchunks * qp, np.int32)

@@ -33,7 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512
+TILE = 1024   # DMA granularity; sel built per 512-lane half
+HALF = 512
+
+
+def _pad8(d: int) -> int:
+    # planar arrays are (8, 128)-tiled in HBM: sublane-pad row counts
+    return (d + 7) // 8 * 8
 
 
 def _fm_chunk_kernel(
@@ -64,17 +70,20 @@ def _fm_chunk_kernel(
         for cp in cps:
             cp.wait()
 
-    def tile_ctx(t):
-        """Masked tile values + one-hot row-selection matrix [TILE, R]."""
-        x = xv_s[:]
+    def half_ctx(t, h):
+        """Masked values + one-hot row-selection [HALF, R] for half h of
+        tile t (sel is built per 512-lane half to bound VMEM)."""
+        sl = slice(h * HALF, (h + 1) * HALF)
+        x = xv_s[sl]
         slot_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) < (qp - t * TILE)
+            jax.lax.broadcasted_iota(jnp.int32, (HALF, 1), 0)
+            < (qp - t * TILE - h * HALF)
         )[:, 0]
-        valid = slot_ok & (xi_s[:] < num_rows)
+        valid = slot_ok & (xi_s[sl] < num_rows)
         x = jnp.where(valid, x, 0.0)
-        rows = jnp.where(valid[None, :], rows_s[:], 0.0)   # [1+K, TILE]
-        lr = jnp.where(valid, xr_s[:] - base_row, 0)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk_rows), 1)
+        rows = jnp.where(valid[None, :], rows_s[: 1 + k, sl], 0.0)  # [1+K, HALF]
+        lr = jnp.where(valid, xr_s[sl] - base_row, 0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (HALF, chunk_rows), 1)
         sel = jnp.where(
             (lr[:, None] == r_iota) & valid[:, None], 1.0, 0.0
         ).astype(jnp.float32)
@@ -85,18 +94,21 @@ def _fm_chunk_kernel(
 
     def p1(t, _):
         load_tile(t)
-        x, rows, sel, _ = tile_ctx(t)
-        w = rows[0]
-        if k > 0:
-            v = rows[1:]
-            contrib = jnp.concatenate(
-                [(x * w)[None, :], x[None, :] * v, (x * x)[None, :] * v * v], axis=0
+        for h in range(TILE // HALF):
+            x, rows, sel, _ = half_ctx(t, h)
+            w = rows[0]
+            if k > 0:
+                v = rows[1:]
+                contrib = jnp.concatenate(
+                    [(x * w)[None, :], x[None, :] * v, (x * x)[None, :] * v * v],
+                    axis=0,
+                )
+            else:
+                contrib = (x * w)[None, :]
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                contrib, sel, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        else:
-            contrib = (x * w)[None, :]
-        acc_ref[:] = acc_ref[:] + jnp.dot(
-            contrib, sel, preferred_element_type=jnp.float32
-        )
         return 0
 
     jax.lax.fori_loop(0, ntiles, p1, 0)
@@ -117,20 +129,32 @@ def _fm_chunk_kernel(
     # pass 2: per-slot gradients in sorted order
     def p2(t, _):
         load_tile(t)
-        x, rows, sel, _ = tile_ctx(t)
-        d_slot = jnp.dot(sel, d, preferred_element_type=jnp.float32)  # [TILE]
-        gw = x * d_slot
-        if k > 0:
-            v = rows[1:]
-            s_slot = jax.lax.dot_general(
-                s_acc, sel,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                          # [K, TILE]
-            gv = d_slot[None, :] * x[None, :] * (s_slot - x[None, :] * v)
-            g_s[:] = jnp.concatenate([gw[None, :], gv], axis=0)
-        else:
-            g_s[:] = gw[None, :]
+        for h in range(TILE // HALF):
+            sl = slice(h * HALF, (h + 1) * HALF)
+            x, rows, sel, _ = half_ctx(t, h)
+            d_slot = jnp.dot(
+                sel, d, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [HALF]
+            gw = x * d_slot
+            if k > 0:
+                v = rows[1:]
+                s_slot = jax.lax.dot_general(
+                    s_acc, sel,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                                        # [K, HALF]
+                gv = d_slot[None, :] * x[None, :] * (s_slot - x[None, :] * v)
+                out = jnp.concatenate([gw[None, :], gv], axis=0)
+            else:
+                out = gw[None, :]
+            if g_s.shape[0] > out.shape[0]:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((g_s.shape[0] - out.shape[0], HALF), jnp.float32)],
+                    axis=0,
+                )
+            g_s[:, sl] = out
         lo = base_slot + t * TILE
         cp = pltpu.make_async_copy(g_s, grads_ref.at[:, pl.ds(lo, TILE)], sem_o)
         cp.start()
@@ -162,10 +186,11 @@ def fm_chunk(
     qp = nnz // nchunks
 
     pad = TILE
+    dp = _pad8(1 + k)
     svals_p = jnp.pad(svals, (0, pad))
     srow_p = jnp.pad(srow, (0, pad))
     sid_p = jnp.pad(sid, (0, pad), constant_values=num_rows)
-    rows_pp = jnp.pad(rows_p, ((0, 0), (0, pad)))
+    rows_pp = jnp.pad(rows_p, ((0, dp - (1 + k)), (0, pad)))
 
     kern = functools.partial(
         _fm_chunk_kernel, chunk_rows=chunk_rows, qp=qp, k=k, num_rows=num_rows
@@ -179,15 +204,15 @@ def fm_chunk(
         out_specs=(bspec, any_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b,), jnp.float32),
-            jax.ShapeDtypeStruct((1 + k, nnz + pad), jnp.float32),
+            jax.ShapeDtypeStruct((dp, nnz + pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE,), jnp.float32),
             pltpu.VMEM((TILE,), jnp.int32),
             pltpu.VMEM((TILE,), jnp.int32),
-            pltpu.VMEM((1 + k, TILE), jnp.float32),
+            pltpu.VMEM((dp, TILE), jnp.float32),
             pltpu.VMEM((1 + 2 * k, chunk_rows), jnp.float32),
-            pltpu.VMEM((1 + k, TILE), jnp.float32),
+            pltpu.VMEM((dp, TILE), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -197,4 +222,4 @@ def fm_chunk(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(svals_p, srow_p, sid_p, rows_pp, labels, mask)
-    return py, grads[:, :nnz]
+    return py, grads[: 1 + k, :nnz]

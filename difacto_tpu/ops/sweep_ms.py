@@ -1,25 +1,29 @@
-"""Multi-stream block-sweep kernels for the fully-sorted pipeline.
+"""Multi-stream block-sweep kernels (alignment-correct window design).
 
-Generalization of ``ops/sweep.py`` that consumes the chunk-sorted slot
-streams of ``data/prep.py`` :: SortedBatch — per-batch ``jnp.unique``
-disappears entirely:
+Generalization of the table sweep idea for the sorted pipeline
+(data/prep.py :: SortedBatch) and the unique-id path (ops/sweep.py wraps
+these with a single stream). See sweep.py's module docstring for the
+design rationale; this module is the real-TPU implementation:
 
-  * ids are sorted within each row-chunk stream, NOT globally, so each
-    table block owns one contiguous slice per stream (host-computed
-    ``offsets[s, b]``);
-  * ids are NOT unique: the pull sweep writes one row per slot (a fused
-    gather + batch expansion), and the apply sweep's one-hot matmul
-    accumulation aggregates duplicate slots into per-row sums before the
-    single FTRL/AdaGrad application — identical semantics to aggregating
-    per-key first (the reference server also applies one aggregated
-    update per key per push);
-  * empty (block, stream) slices are skipped, so cost scales with the
-    table sweep plus touched slices only.
+Mosaic constrains dynamic HBM slices to the array's tile granularity
+(512 elements for 1-D i32/f32; 128-lane multiples for 2-D), so the
+kernels never DMA exact slices. Instead each (table-block, stream)
+slice is covered by G=512-aligned windows:
 
-Cost note: the one-hot select work scales with CAP * table_rows *
-num_streams (independent of block size), so CAP here is 64 (vs 128 in
-the unique-id kernels) — typical slice occupancy is far below capacity
-and the dynamic chunk loop covers hot-id runs.
+  * ids/payload windows are DMA'd whole; lanes outside [start, end) are
+    neutralized (payload zeroed for apply; non-owned lanes blended from
+    the old value for pull's read-modify-write output);
+  * the one-hot select matrix is built from ids alone — ids from
+    neighboring blocks in the window can never match this block's rows,
+    and neighboring *streams'* same-block ids are excluded by the
+    position bound;
+  * grid iterations are sequential and every window DMA is waited, so
+    pull's RMW blending across window-sharing iterations is ordered.
+
+Duplicate ids are aggregated by the select-matmul accumulation before
+the single fused FTRL/AdaGrad application — identical semantics to
+per-key aggregation (the reference server also applies one aggregated
+update per key per push).
 """
 
 from __future__ import annotations
@@ -34,18 +38,30 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import FMParam
 from ..updaters.updater import FMState
 
-CAP_MS = 64
+G = 1024  # window granularity == 1-D HBM tile size (i32/f32 at scale)
 
 
-def _sel(uid_chunk, base, block_rows, lanes_left, cap):
-    lid = uid_chunk - base
-    pos_ok = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0) < lanes_left
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, block_rows), 1)
-    return jnp.where((lid[:, None] == rows) & pos_ok, 1.0, 0.0).astype(jnp.float32)
+def _pad8(d: int) -> int:
+    # 2-D HBM arrays are (8, 128)-tiled: dynamic slices must span full
+    # sublane groups, so planar row counts are padded to multiples of 8
+    return (d + 7) // 8 * 8
+
+
+def _sel_from_ids(uid_win, base, block_rows):
+    """One-hot sel[G, R] from ids alone (out-of-block ids match nothing)."""
+    lid = uid_win - base
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, block_rows), 1)
+    return jnp.where(lid[:, None] == rows, 1.0, 0.0).astype(jnp.float32)
+
+
+def _inbound(wstart, start, end):
+    """Mask [G]: global window lane position within [start, end)."""
+    pos = wstart + jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)[:, 0]
+    return (pos >= start) & (pos < end)
 
 
 # ---------------------------------------------------------------------------
-# pull: rows_p[1+K, NNZ] = per-slot gather (fused expansion)
+# pull: rows_p[1+K, NNZ] = per-slot gather (fused expansion), RMW-blended
 # ---------------------------------------------------------------------------
 
 
@@ -54,9 +70,9 @@ def _pull_ms_kernel(
     block_rows: int, v_threshold: float, k: int, n_streams: int,
 ):
     if k > 0:
-        w_ref, cnt_ref, v_ref, out_ref, uid_s, out_s, in_sem, out_sem = refs
+        w_ref, cnt_ref, v_ref, out_ref, uid_s, out_s, old_s, in_sem, out_sem = refs
     else:
-        w_ref, cnt_ref, out_ref, uid_s, out_s, in_sem, out_sem = refs
+        w_ref, cnt_ref, out_ref, uid_s, out_s, old_s, in_sem, out_sem = refs
     i = pl.program_id(0)
     base = i * block_rows
     if k > 0:
@@ -67,49 +83,69 @@ def _pull_ms_kernel(
 
     for s in range(n_streams):
         start = off_ref[s, i]
-        count = off_ref[s, i + 1] - start
+        end = off_ref[s, i + 1]
 
-        @pl.when(count > 0)
+        @pl.when(end > start)
         def _():
-            def chunk(c, _):
-                lo = start + c * CAP_MS
-                cp = pltpu.make_async_copy(
-                    sid_ref.at[pl.ds(lo, CAP_MS)], uid_s, in_sem
-                )
+            astart = (start // G) * G
+
+            def win(w_i, _):
+                lo = astart + w_i * G
+                cp = pltpu.make_async_copy(sid_ref.at[pl.ds(lo, G)], uid_s, in_sem)
                 cp.start()
                 cp.wait()
-                sel = _sel(uid_s[:], base, block_rows, count - c * CAP_MS, CAP_MS)
-                out_s[:] = jax.lax.dot_general(
+                cp_old = pltpu.make_async_copy(
+                    out_ref.at[:, pl.ds(lo, G)], old_s, out_sem
+                )
+                cp_old.start()
+                cp_old.wait()
+                sel = _sel_from_ids(uid_s[:], base, block_rows)
+                new = jax.lax.dot_general(
                     m, sel,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
+                lid = uid_s[:] - base
+                owned = (
+                    _inbound(lo, start, end) & (lid >= 0) & (lid < block_rows)
+                )
+                dp = out_s.shape[0]
+                if dp > new.shape[0]:
+                    new = jnp.concatenate(
+                        [new, jnp.zeros((dp - new.shape[0], G), jnp.float32)],
+                        axis=0,
+                    )
+                out_s[:] = jnp.where(owned[None, :], new, old_s[:])
                 cp_o = pltpu.make_async_copy(
-                    out_s, out_ref.at[:, pl.ds(lo, CAP_MS)], out_sem
+                    out_s, out_ref.at[:, pl.ds(lo, G)], out_sem
                 )
                 cp_o.start()
                 cp_o.wait()
                 return 0
 
-            jax.lax.fori_loop(0, (count + CAP_MS - 1) // CAP_MS, chunk, 0)
+            nwin = (end - astart + G - 1) // G
+            jax.lax.fori_loop(0, nwin, win, 0)
 
 
 def sweep_pull_ms(
     state: FMState,
-    sid: jnp.ndarray,        # i32 [NNZ] chunk-sorted ids (sentinel = N)
+    sid: jnp.ndarray,        # i32 [NNZ] per-stream-sorted ids (sentinel = N)
     offsets: jnp.ndarray,    # i32 [S, nb+1]
     param: FMParam,
     *,
     block_rows: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-slot rows [1+K, NNZ] (planar; padding-slot lanes undefined —
-    mask with sid < num_rows downstream)."""
+    """Per-slot rows [1+K, NNZ] (planar; lanes not covered by any slice —
+    sentinel/pad slots — are undefined: mask with sid < num_rows)."""
     n, k = state.num_rows, state.k
     assert n % block_rows == 0
     nnz = sid.shape[0]
     s_streams = offsets.shape[0]
-    sid_p = jnp.concatenate([sid, jnp.full((CAP_MS,), n, sid.dtype)]).astype(jnp.int32)
+    pad = G + (-nnz) % G
+    dp = _pad8(1 + k)
+    sid_p = jnp.concatenate([sid, jnp.full((pad,), n, sid.dtype)]).astype(jnp.int32)
 
     kern = functools.partial(
         _pull_ms_kernel,
@@ -130,8 +166,9 @@ def sweep_pull_ms(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CAP_MS,), jnp.int32),
-            pltpu.VMEM((1 + k, CAP_MS), jnp.float32),
+            pltpu.VMEM((G,), jnp.int32),
+            pltpu.VMEM((dp, G), jnp.float32),
+            pltpu.VMEM((dp, G), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -139,11 +176,11 @@ def sweep_pull_ms(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1 + k, nnz + CAP_MS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, nnz + pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(offsets.astype(jnp.int32), *args)
-    return out[:, :nnz]
+    return out[: 1 + k, :nnz]
 
 
 # ---------------------------------------------------------------------------
@@ -169,29 +206,33 @@ def _apply_ms_kernel(
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for s in range(n_streams):
         start = off_ref[s, i]
-        count = off_ref[s, i + 1] - start
+        end = off_ref[s, i + 1]
 
-        @pl.when(count > 0)
+        @pl.when(end > start)
         def _():
-            def chunk(c, _):
-                lo = start + c * CAP_MS
-                cp1 = pltpu.make_async_copy(
-                    sid_ref.at[pl.ds(lo, CAP_MS)], uid_s, in_sem
-                )
+            astart = (start // G) * G
+
+            def win(w_i, _):
+                lo = astart + w_i * G
+                cp1 = pltpu.make_async_copy(sid_ref.at[pl.ds(lo, G)], uid_s, in_sem)
                 cp2 = pltpu.make_async_copy(
-                    pay_ref.at[:, pl.ds(lo, CAP_MS)], pay_s, pay_sem
+                    pay_ref.at[:, pl.ds(lo, G)], pay_s, pay_sem
                 )
                 cp1.start()
                 cp2.start()
                 cp1.wait()
                 cp2.wait()
-                sel = _sel(uid_s[:], base, block_rows, count - c * CAP_MS, CAP_MS)
+                sel = _sel_from_ids(uid_s[:], base, block_rows)
+                inb = _inbound(lo, start, end).astype(jnp.float32)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
-                    pay_s[:], sel, preferred_element_type=jnp.float32
+                    pay_s[: acc_ref.shape[0]] * inb[None, :], sel,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 return 0
 
-            jax.lax.fori_loop(0, (count + CAP_MS - 1) // CAP_MS, chunk, 0)
+            nwin = (end - astart + G - 1) // G
+            jax.lax.fori_loop(0, nwin, win, 0)
 
     acc = acc_ref[:]
     g = acc[0]
@@ -248,7 +289,7 @@ def _apply_ms_kernel(
 
 def sweep_apply_ms(
     state: FMState,
-    sid: jnp.ndarray,        # i32 [NNZ] chunk-sorted (sentinel = N)
+    sid: jnp.ndarray,        # i32 [NNZ] per-stream-sorted (sentinel = N)
     payload: jnp.ndarray,    # f32 [3+K, NNZ]: gw | gV | add_cnt | touch
     offsets: jnp.ndarray,    # i32 [S, nb+1]
     param: FMParam,
@@ -260,8 +301,10 @@ def sweep_apply_ms(
     assert n % block_rows == 0
     nnz = sid.shape[0]
     s_streams = offsets.shape[0]
-    sid_p = jnp.concatenate([sid, jnp.full((CAP_MS,), n, sid.dtype)]).astype(jnp.int32)
-    payload = jnp.pad(payload, ((0, 0), (0, CAP_MS)))
+    pad = G + (-nnz) % G
+    pp = _pad8(3 + k)
+    sid_p = jnp.concatenate([sid, jnp.full((pad,), n, sid.dtype)]).astype(jnp.int32)
+    payload = jnp.pad(payload, ((0, pp - (3 + k)), (0, pad)))
 
     kern = functools.partial(
         _apply_ms_kernel, block_rows=block_rows, k=k, p=param, n_streams=s_streams
@@ -286,8 +329,8 @@ def sweep_apply_ms(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((CAP_MS,), jnp.int32),
-            pltpu.VMEM((3 + k, CAP_MS), jnp.float32),
+            pltpu.VMEM((G,), jnp.int32),
+            pltpu.VMEM((pp, G), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((3 + k, block_rows), jnp.float32),
