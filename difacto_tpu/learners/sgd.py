@@ -55,11 +55,14 @@ class SGDLearner:
             self.store, LocalStore
         )
         pl_mode = cfg.shard.pipeline
+        # sorted pipeline is opt-in for now: its fused-FM kernel's
+        # non-blocked output is VMEM-staged by Mosaic, capping batch sizes
+        # (see ops/fm_chunk.py); the prepped path + apply sweep is the
+        # production default on TPU
         self._sorted = (
             isinstance(self.store, LocalStore)
             and getattr(self.store, "supports_sorted", False)
-            and pl_mode in ("auto", "sorted")
-            and pl_mode != "simple"
+            and pl_mode == "sorted"
         )
         if pl_mode == "sorted" and not self._sorted:
             raise ValueError(

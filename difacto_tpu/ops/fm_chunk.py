@@ -43,10 +43,11 @@ def _pad8(d: int) -> int:
 
 
 def _fm_chunk_kernel(
-    svals_ref, srow_ref, sid_ref, rows_ref,   # ANY [NNZ(+pad)] / [1+K, ...]
+    svals_ref, srow_ref, sid_ref, rows_ref,   # HBM [NNZ(+pad)] / [1+K, ...]
+    ginit_ref,                                # HBM zeros aliased to grads out
     labels_ref, mask_ref,                     # VMEM blocks [R]
     py_ref,                                   # out VMEM block [R]
-    grads_ref,                                # out ANY [1+K, NNZ+TILE]
+    grads_ref,                                # out HBM [1+K, NNZ+TILE]
     xv_s, xr_s, xi_s, rows_s, acc_ref, g_s,
     sem_a, sem_b, sem_c, sem_d, sem_o,
     *,
@@ -92,19 +93,21 @@ def _fm_chunk_kernel(
     # pass 1: accumulate [lin | S | Q] per example
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    acc_rows = acc_ref.shape[0]  # pad8(1+2k): sub-8-sublane matmul
+    #                              operands hit Mosaic slow paths
+
     def p1(t, _):
         load_tile(t)
         for h in range(TILE // HALF):
             x, rows, sel, _ = half_ctx(t, h)
             w = rows[0]
+            parts = [(x * w)[None, :]]
             if k > 0:
                 v = rows[1:]
-                contrib = jnp.concatenate(
-                    [(x * w)[None, :], x[None, :] * v, (x * x)[None, :] * v * v],
-                    axis=0,
-                )
-            else:
-                contrib = (x * w)[None, :]
+                parts += [x[None, :] * v, (x * x)[None, :] * v * v]
+            if acc_rows > 1 + 2 * k:
+                parts.append(jnp.zeros((acc_rows - 1 - 2 * k, HALF), jnp.float32))
+            contrib = jnp.concatenate(parts, axis=0)
             acc_ref[:] = acc_ref[:] + jnp.dot(
                 contrib, sel, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -117,7 +120,7 @@ def _fm_chunk_kernel(
     lin = acc[0]
     if k > 0:
         s_acc = acc[1 : 1 + k]
-        q_acc = acc[1 + k :]
+        q_acc = acc[1 + k : 1 + 2 * k]
         py = lin + 0.5 * jnp.sum(s_acc * s_acc - q_acc, axis=0)
     else:
         s_acc = acc[1:1, :]
@@ -125,6 +128,15 @@ def _fm_chunk_kernel(
     py_ref[:] = py
     y = labels_ref[:]
     d = (1.0 / (1.0 + jnp.exp(-py)) - y) * mask_ref[:]
+    # one padded [8m, R] operand carries d and S together: avoids both an
+    # N=1 matvec and (for k % 8 != 0) a sub-8-sublane matmul operand
+    ds_rows = _pad8(1 + k)
+    ds_acc = jnp.concatenate(
+        [d[None, :], s_acc]
+        + ([jnp.zeros((ds_rows - 1 - k, chunk_rows), jnp.float32)]
+           if ds_rows > 1 + k else []),
+        axis=0,
+    )
 
     # pass 2: per-slot gradients in sorted order
     def p2(t, _):
@@ -132,19 +144,17 @@ def _fm_chunk_kernel(
         for h in range(TILE // HALF):
             sl = slice(h * HALF, (h + 1) * HALF)
             x, rows, sel, _ = half_ctx(t, h)
-            d_slot = jnp.dot(
-                sel, d, preferred_element_type=jnp.float32,
+            ds_slot = jax.lax.dot_general(
+                ds_acc, sel,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # [HALF]
+            )                                                  # [8m, HALF]
+            d_slot = ds_slot[0]
             gw = x * d_slot
             if k > 0:
                 v = rows[1:]
-                s_slot = jax.lax.dot_general(
-                    s_acc, sel,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                                        # [K, HALF]
+                s_slot = ds_slot[1 : 1 + k]
                 gv = d_slot[None, :] * x[None, :] * (s_slot - x[None, :] * v)
                 out = jnp.concatenate([gw[None, :], gv], axis=0)
             else:
@@ -195,23 +205,25 @@ def fm_chunk(
     kern = functools.partial(
         _fm_chunk_kernel, chunk_rows=chunk_rows, qp=qp, k=k, num_rows=num_rows
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     bspec = pl.BlockSpec((chunk_rows,), lambda i: (i,))
+    ginit = jnp.zeros((dp, nnz + pad), jnp.float32)
     py, grads = pl.pallas_call(
         kern,
         grid=(nchunks,),
-        in_specs=[any_spec, any_spec, any_spec, any_spec, bspec, bspec],
+        in_specs=[any_spec, any_spec, any_spec, any_spec, any_spec, bspec, bspec],
         out_specs=(bspec, any_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b,), jnp.float32),
             jax.ShapeDtypeStruct((dp, nnz + pad), jnp.float32),
         ),
+        input_output_aliases={4: 1},  # ginit -> grads
         scratch_shapes=[
             pltpu.VMEM((TILE,), jnp.float32),
             pltpu.VMEM((TILE,), jnp.int32),
             pltpu.VMEM((TILE,), jnp.int32),
             pltpu.VMEM((dp, TILE), jnp.float32),
-            pltpu.VMEM((1 + 2 * k, chunk_rows), jnp.float32),
+            pltpu.VMEM((_pad8(1 + 2 * k), chunk_rows), jnp.float32),
             pltpu.VMEM((dp, TILE), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -221,5 +233,5 @@ def fm_chunk(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(svals_p, srow_p, sid_p, rows_pp, labels, mask)
+    )(svals_p, srow_p, sid_p, rows_pp, ginit, labels, mask)
     return py, grads[: 1 + k, :nnz]

@@ -69,17 +69,27 @@ def _pull_ms_kernel(
     off_ref, sid_ref, *refs,
     block_rows: int, v_threshold: float, k: int, n_streams: int,
 ):
+    # out_ref is aliased to a zero-initialized HBM input (a bare ANY/HBM
+    # output would be allocated on the kernel's VMEM stack and OOM at
+    # production sizes); _init_ref is that input's ref, unused directly.
     if k > 0:
-        w_ref, cnt_ref, v_ref, out_ref, uid_s, out_s, old_s, in_sem, out_sem = refs
+        (_init_ref, w_ref, cnt_ref, v_ref, out_ref,
+         uid_s, out_s, old_s, in_sem, out_sem) = refs
     else:
-        w_ref, cnt_ref, out_ref, uid_s, out_s, old_s, in_sem, out_sem = refs
+        (_init_ref, w_ref, cnt_ref, out_ref,
+         uid_s, out_s, old_s, in_sem, out_sem) = refs
     i = pl.program_id(0)
     base = i * block_rows
+    # sublane-pad the gather matrix to the output row count: Mosaic takes
+    # slow paths for sub-8-sublane matmul operands
+    dp = out_s.shape[0]
+    parts = [w_ref[:][None, :]]
     if k > 0:
         act = (cnt_ref[:] >= v_threshold).astype(jnp.float32)
-        m = jnp.concatenate([w_ref[:][None, :], v_ref[:] * act[None, :]], axis=0)
-    else:
-        m = w_ref[:][None, :]
+        parts.append(v_ref[:] * act[None, :])
+    if dp > 1 + k:
+        parts.append(jnp.zeros((dp - 1 - k, block_rows), jnp.float32))
+    m = jnp.concatenate(parts, axis=0)
 
     for s in range(n_streams):
         start = off_ref[s, i]
@@ -110,12 +120,6 @@ def _pull_ms_kernel(
                 owned = (
                     _inbound(lo, start, end) & (lid >= 0) & (lid < block_rows)
                 )
-                dp = out_s.shape[0]
-                if dp > new.shape[0]:
-                    new = jnp.concatenate(
-                        [new, jnp.zeros((dp - new.shape[0], G), jnp.float32)],
-                        axis=0,
-                    )
                 out_s[:] = jnp.where(owned[None, :], new, old_s[:])
                 cp_o = pltpu.make_async_copy(
                     out_s, out_ref.at[:, pl.ds(lo, G)], out_sem
@@ -155,8 +159,10 @@ def sweep_pull_ms(
         n_streams=s_streams,
     )
     bspec1 = pl.BlockSpec((block_rows,), lambda i, off: (i,))
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), bspec1, bspec1]
-    args = [sid_p, state.w, state.cnt]
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_init = jnp.zeros((dp, nnz + pad), jnp.float32)
+    in_specs = [hbm, hbm, bspec1, bspec1]
+    args = [sid_p, out_init, state.w, state.cnt]
     if k > 0:
         in_specs.append(pl.BlockSpec((k, block_rows), lambda i, off: (0, i)))
         args.append(state.V)
@@ -164,7 +170,7 @@ def sweep_pull_ms(
         num_scalar_prefetch=1,
         grid=(n // block_rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((G,), jnp.int32),
             pltpu.VMEM((dp, G), jnp.float32),
@@ -177,6 +183,7 @@ def sweep_pull_ms(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((dp, nnz + pad), jnp.float32),
+        input_output_aliases={2: 0},  # off=0, sid=1, out_init=2
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(offsets.astype(jnp.int32), *args)
@@ -225,7 +232,7 @@ def _apply_ms_kernel(
                 sel = _sel_from_ids(uid_s[:], base, block_rows)
                 inb = _inbound(lo, start, end).astype(jnp.float32)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
-                    pay_s[: acc_ref.shape[0]] * inb[None, :], sel,
+                    pay_s[:] * inb[None, :], sel,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
@@ -311,7 +318,7 @@ def sweep_apply_ms(
     )
     bspec1 = pl.BlockSpec((block_rows,), lambda i, off: (i,))
     bspeck = pl.BlockSpec((k, block_rows), lambda i, off: (0, i))
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [any_spec, any_spec, bspec1, bspec1, bspec1, bspec1]
     args = [sid_p, payload, state.w, state.z, state.n, state.cnt]
     out_specs = [bspec1, bspec1, bspec1, bspec1]
@@ -333,7 +340,7 @@ def sweep_apply_ms(
             pltpu.VMEM((pp, G), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((3 + k, block_rows), jnp.float32),
+            pltpu.VMEM((pp, block_rows), jnp.float32),
         ],
     )
     outs = pl.pallas_call(

@@ -98,9 +98,15 @@ class LocalStore:
             state, cnt=state.cnt.at[idx].add(loc.counts * loc.valid)
         )
 
+    def _use_sweep_pull(self, u: int) -> bool:
+        # the pull sweep's non-blocked output is staged in VMEM by Mosaic;
+        # fall back to the (fast, jitted) XLA gather when it wouldn't fit
+        dp = (1 + self.updater.param.V_dim + 7) // 8 * 8
+        return self.pallas and dp * (u + 2048) * 4 <= (8 << 20)
+
     def _pull_compute(self, state, ids, vals, labels, mask):
         loc = localize(ids, self.num_rows, self.unique_size)
-        if self.pallas:
+        if self._use_sweep_pull(loc.uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
             rows_u = sweep_pull(
@@ -140,7 +146,7 @@ class LocalStore:
 
     def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts, inv, valid):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
-        if self.pallas:
+        if self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
             rows_u = sweep_pull(
