@@ -31,7 +31,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 NNZ = int(os.environ.get("BENCH_NNZ", 40))       # Criteo-Kaggle: 39/row
-NUM_BITS = int(os.environ.get("BENCH_BITS", 24)) # 16.7M-row table
+NUM_BITS = int(os.environ.get("BENCH_BITS", 22)) # 4M-row table (Criteo-Kaggle-scale hashed space)
 K = int(os.environ.get("BENCH_K", 16))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 NP_STEPS = 3
@@ -61,7 +61,7 @@ def _store():
     from difacto_tpu.parallel.store import LocalStore
     from difacto_tpu.updaters.updater import FMUpdater
 
-    kernel = os.environ.get("BENCH_KERNEL", "pallas")
+    kernel = os.environ.get("BENCH_KERNEL", "xla")
     cfg = Config.from_kwargs(
         [
             ("batch_size", str(BATCH)),

@@ -50,9 +50,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _use_pallas(cfg: Config) -> bool:
+    # Measured on v5e (see bench.py): inside one fused jitted step, XLA's
+    # donated in-place scatter-update matches the Pallas apply sweep at
+    # flagship shapes, and XLA compiles in seconds vs ~10 min for the
+    # Pallas kernels on the remote compile service — so auto currently
+    # means XLA. kernel=pallas opts in (it wins for standalone updates
+    # and is the base for the fully-fused sorted pipeline).
     kind = cfg.shard.kernel
     if kind == "auto":
-        return jax.default_backend() == "tpu"
+        return False
     return kind == "pallas"
 
 
