@@ -123,6 +123,8 @@ class LearnerParam(ParamBase):
     model_in: str = ""             # warm-start checkpoint
     report_interval: int = 100     # steps between progress reports
     save_interval_epochs: int = 1
+    save_interval_steps: int = 0   # also checkpoint every N steps (0 = off);
+                                   # resume skips the consumed batches
 
     def validate(self) -> None:
         assert self.learner in ("sgd", "bcd")

@@ -72,17 +72,24 @@ class SGDLearner:
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
         self._epoch = 0
+        self._resume_step = 0  # batches already consumed in self._epoch
         if cfg.learner.model_in:
             host_state, meta = checkpoint.load(cfg.learner.model_in)
             self.state = self.store.place_state(host_state)
             self._epoch = int(meta.get("epoch", 0))
-            log.info("loaded model from %s (epoch %d)", cfg.learner.model_in, self._epoch)
+            self._resume_step = int(meta.get("step", 0))
+            log.info(
+                "loaded model from %s (epoch %d, step %d)",
+                cfg.learner.model_in, self._epoch, self._resume_step,
+            )
         else:
             self.state = self.store.init_state(cfg.data.seed)
 
     # -- data ---------------------------------------------------------------
 
-    def _iter(self, uri: str, shuffle: bool, localize: bool | None = None) -> ThreadedIter[Batch]:
+    def _iter(
+        self, uri: str, shuffle: bool, localize: bool | None = None, epoch: int = 0
+    ) -> ThreadedIter[Batch]:
         d = self.cfg.data
         # multi-host: each process reads a disjoint byte-range part of
         # every file (the dmlc InputSplit contract)
@@ -98,7 +105,9 @@ class SGDLearner:
             part_index=part,
             num_parts=max(nparts, d.num_parts_per_file) if nparts > 1 else 1,
             shuffle=shuffle and d.shuffle,
-            seed=d.seed,
+            # epoch-dependent seed: each epoch must shuffle differently AND
+            # a resumed run must reproduce the interrupted epoch's order
+            seed=d.seed + epoch,
         )
         src = iter(it)
         num_rows = 1 << d.num_bits
@@ -131,12 +140,19 @@ class SGDLearner:
     def train_epoch(self, epoch: int) -> Progress:
         from ..utils.tracing import profile_region
 
+        cfg = self.cfg
         prog = Progress()
         self.reporter.reset()
         acc = None
         step = 0
+        skip = self._resume_step if epoch == self._epoch else 0
+        if skip:
+            log.info("resuming epoch %d at step %d", epoch, skip)
         with profile_region(f"train_epoch_{epoch}"):
-            for batch in self._iter(self.cfg.data.data_in, shuffle=True):
+            for batch in self._iter(cfg.data.data_in, shuffle=True, epoch=epoch):
+                if step < skip:
+                    step += 1
+                    continue
                 if self._sorted:
                     self.state, metrics = self.store.train_step_sorted(
                         self.state, batch
@@ -156,6 +172,12 @@ class SGDLearner:
                     self._fold(prog, acc)
                     acc = None
                     self.reporter.maybe_report(step, prog, prefix=f"epoch {epoch} ")
+                si = cfg.learner.save_interval_steps
+                if cfg.learner.model_out and si > 0 and step % si == 0:
+                    checkpoint.save(
+                        cfg.learner.model_out, self.state,
+                        {"epoch": epoch, "step": step},
+                    )
         if acc is not None:
             self._fold(prog, acc)
         st = self.store.stats(self.state)
@@ -231,7 +253,8 @@ class SGDLearner:
                 or epoch + 1 == cfg.learner.max_num_epochs
             ):
                 path = checkpoint.save(
-                    cfg.learner.model_out, self.state, {"epoch": epoch + 1}
+                    cfg.learner.model_out, self.state,
+                    {"epoch": epoch + 1, "step": 0},
                 )
                 log.info("saved model to %s", path)
         return last

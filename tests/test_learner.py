@@ -117,3 +117,50 @@ def test_predict_task_cli(data, tmp_path):
     scores = np.loadtxt(out)
     assert len(scores) == 2000
     assert np.isfinite(scores).all()
+
+
+def test_step_interval_checkpoint_and_resume(data, tmp_path):
+    """Mid-epoch periodic saves + resume skipping consumed batches
+    (extends the reference's epoch-level model_out with a step cursor)."""
+    cfg = _cfg(
+        data, max_num_epochs=1, model_out=str(tmp_path / "m"),
+        save_interval_steps=7, store="local",
+    )
+    lrn = SGDLearner(cfg)
+    lrn.run()
+    # epoch of 16 batches -> periodic saves at steps 7 and 14 (overwritten)
+    # plus the epoch-end save; final meta has epoch=1, step=0
+    import json
+
+    meta = json.load(open(tmp_path / "m.meta.json"))
+    assert meta["epoch"] == 1 and meta["step"] == 0
+
+    # craft a mid-epoch checkpoint and resume: it must skip `step` batches
+    from difacto_tpu.utils import checkpoint as ckpt
+
+    ckpt.save(str(tmp_path / "mid"), lrn.state, {"epoch": 0, "step": 9})
+    cfg2 = _cfg(
+        data, max_num_epochs=1, model_in=str(tmp_path / "mid"), store="local",
+    )
+    lrn2 = SGDLearner(cfg2)
+    assert lrn2._resume_step == 9
+    calls = {"n": 0}
+    real = lrn2.store.train_step_prepped
+
+    def counting(state, pb):
+        calls["n"] += 1
+        return real(state, pb)
+
+    lrn2.store.train_step_prepped = counting
+    lrn2.train_epoch(0)
+    assert calls["n"] == 16 - 9  # 8000 rows / 512 = 16 batches, 9 skipped
+
+
+def test_epoch_shuffle_differs(data):
+    """Each epoch must see a different batch order (seed = base + epoch)."""
+    lrn = SGDLearner(_cfg(data, max_num_epochs=1, store="local", host_localize="false"))
+    e0 = [b.labels.copy() for b in lrn._iter(str(data / "train.svm"), True, epoch=0)]
+    e1 = [b.labels.copy() for b in lrn._iter(str(data / "train.svm"), True, epoch=1)]
+    e0b = [b.labels.copy() for b in lrn._iter(str(data / "train.svm"), True, epoch=0)]
+    assert any((a != b).any() for a, b in zip(e0, e1))
+    assert all((a == b).all() for a, b in zip(e0, e0b))  # reproducible
