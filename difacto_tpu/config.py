@@ -74,6 +74,7 @@ class DataParam(ParamBase):
     max_nnz_per_row: int = 64      # pad/truncate each example to this nnz
     num_bits: int = 22             # hashed feature space = 2**num_bits rows
     host_localize: bool = True     # dedup ids in the prefetch thread
+    prep_workers: int = 4          # threads for batch padding/dedup prep
     seed: int = 0
 
     def validate(self) -> None:

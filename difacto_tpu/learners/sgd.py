@@ -111,6 +111,7 @@ class SGDLearner:
         )
         src = iter(it)
         num_rows = 1 << d.num_bits
+        fn = None
         if localize is False:
             pass
         elif self._sorted:
@@ -118,11 +119,20 @@ class SGDLearner:
 
             br = self.store.block_rows
             cr = self.cfg.shard.chunk_rows
-            src = (prep_batch_sorted(b, num_rows, br, cr) for b in src)
+            fn = lambda b: prep_batch_sorted(b, num_rows, br, cr)
         elif self._host_localize if localize is None else localize:
             from ..data.prep import prep_batch
 
-            src = (prep_batch(b, num_rows) for b in src)
+            fn = lambda b: prep_batch(b, num_rows)
+        if fn is not None and d.prep_workers > 1:
+            from ..utils.prefetch import MappedPrefetchIter
+
+            # parse runs in its own thread; prep fans out to a pool
+            return MappedPrefetchIter(
+                ThreadedIter(src, depth=4), fn, workers=d.prep_workers
+            )
+        if fn is not None:
+            src = map(fn, src)
         return ThreadedIter(src, depth=4)
 
     # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------

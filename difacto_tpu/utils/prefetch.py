@@ -44,3 +44,45 @@ class ThreadedIter(Iterator[T]):
                 raise self._err
             raise StopIteration
         return item
+
+
+class MappedPrefetchIter(Iterator):
+    """Order-preserving parallel ``map`` over a producer iterator.
+
+    The transform stage (batch padding + np.unique localization) is the
+    host-side hot path; NumPy sort/unique release the GIL, so a small
+    thread pool scales it. Items are submitted ``depth`` ahead and
+    yielded in order — the reference's bounded in-flight minibatch queue
+    (AsyncLocalTracker) with workers, minus the staleness.
+    """
+
+    def __init__(self, source: Iterable, fn, workers: int = 2, depth: int = 6):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(workers, 1))
+        self._src = iter(source)
+        self._fn = fn
+        self._depth = max(depth, 1)
+        self._pending: queue.Queue = queue.Queue()
+        self._done_submitting = False
+        self._fill()
+
+    def _fill(self) -> None:
+        while not self._done_submitting and self._pending.qsize() < self._depth:
+            try:
+                item = next(self._src)
+            except StopIteration:
+                self._done_submitting = True
+                self._pool.shutdown(wait=False)
+                return
+            self._pending.put(self._pool.submit(self._fn, item))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pending.empty():
+            raise StopIteration
+        fut = self._pending.get()
+        self._fill()
+        return fut.result()

@@ -164,3 +164,13 @@ def test_epoch_shuffle_differs(data):
     e0b = [b.labels.copy() for b in lrn._iter(str(data / "train.svm"), True, epoch=0)]
     assert any((a != b).any() for a, b in zip(e0, e1))
     assert all((a == b).all() for a, b in zip(e0, e0b))  # reproducible
+
+
+def test_parallel_prep_matches_serial(data):
+    """MappedPrefetchIter must preserve order and values exactly."""
+    a = SGDLearner(_cfg(data, max_num_epochs=2, store="local", prep_workers="1"))
+    pa = a.run()
+    b = SGDLearner(_cfg(data, max_num_epochs=2, store="local", prep_workers="4"))
+    pb = b.run()
+    assert pa.exact_auc == pb.exact_auc
+    np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-7)
