@@ -12,7 +12,7 @@ addressing into one-hot matmuls on the MXU:
     ids owned by table block ``b`` form a contiguous slice of the id
     list; per-block slice offsets are one ``searchsorted`` outside the
     kernel;
-  * per block, the kernel covers that slice with 512-aligned windows
+  * per block, the kernel covers that slice with 1024-aligned windows
     (Mosaic's dynamic-slice granularity for HBM), builds a one-hot
     selection matrix sel[G, R] = (id - block_base == row), and uses
     ``payload @ sel`` / ``M @ selᵀ`` matmuls to scatter-accumulate or

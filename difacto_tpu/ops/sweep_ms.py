@@ -6,9 +6,10 @@ these with a single stream). See sweep.py's module docstring for the
 design rationale; this module is the real-TPU implementation:
 
 Mosaic constrains dynamic HBM slices to the array's tile granularity
-(512 elements for 1-D i32/f32; 128-lane multiples for 2-D), so the
-kernels never DMA exact slices. Instead each (table-block, stream)
-slice is covered by G=512-aligned windows:
+(1024 elements for 1-D i32/f32 at scale; full 8-sublane groups and
+128-lane multiples for 2-D), so the kernels never DMA exact slices.
+Instead each (table-block, stream) slice is covered by G=1024-aligned
+windows:
 
   * ids/payload windows are DMA'd whole; lanes outside [start, end) are
     neutralized (payload zeroed for apply; non-owned lanes blended from
