@@ -15,7 +15,7 @@ with a scalar fetch; the first fetch in a process pays a large one-time
 tunnel cost and is excluded via warmup.
 
 Variants (env vars):
-  BENCH_KERNEL=pallas|xla   table access path        (default pallas)
+  BENCH_KERNEL=pallas|xla   table access path        (default xla)
   BENCH_PREP=host|device    id dedup location        (default host)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
   BENCH_STEPS, BENCH_SKIP_NUMPY

@@ -50,6 +50,6 @@ def hash_ids(ids: np.ndarray, num_bits: int) -> np.ndarray:
     shards, the owner of a hashed id ``h`` is ``h // (table_size // S)``
     (contiguous ranges, so sorted unique ids bucket into contiguous runs).
     """
-    assert 1 <= num_bits <= 31, "table indices must fit int32"
+    assert 1 <= num_bits <= 30, "table indices + sentinel must fit int32"
     h = splitmix64(ids) & np.uint64((1 << num_bits) - 1)
     return h.astype(np.int32)

@@ -80,11 +80,18 @@ def run_predict(cfg: Config) -> int:
 
     if not cfg.learner.model_in:
         raise SystemExit("task=predict requires model_in")
+    import jax
+
+    if jax.process_count() > 1:
+        raise SystemExit("task=predict is single-host (scores are gathered)")
     from .learners.sgd import SGDLearner
     from .ops.metrics import exact_auc, logloss
 
+    # scoring always uses the SGD eval path — checkpoints are a shared
+    # format, so BCD-trained linear models score through it too
     cfg.learner.max_num_epochs = 0
-    learner = create_learner(cfg)
+    cfg.learner.learner = "sgd"
+    learner = SGDLearner(cfg)
     py, labels = learner.predict(cfg.data.data_in)
     if cfg.learner.pred_out:
         np.savetxt(cfg.learner.pred_out, py, fmt="%.6g")

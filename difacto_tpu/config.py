@@ -79,7 +79,9 @@ class DataParam(ParamBase):
 
     def validate(self) -> None:
         assert self.batch_size > 0
-        assert 1 <= self.num_bits <= 31
+        # <= 30: the padding sentinel is num_rows = 2**num_bits, which must
+        # fit int32 with headroom (2**31 would wrap negative)
+        assert 1 <= self.num_bits <= 30
         assert self.max_nnz_per_row > 0
 
 

@@ -151,15 +151,26 @@ class BatchIter:
                     drop_remainder=self.drop_remainder,
                 )
 
-    def _blocks(self, path: str) -> Iterator[RowBlock]:
-        if self.data_format == "libsvm":
-            for chunk in iter_file_chunks(
-                path, self.chunk_bytes, self.part_index, self.num_parts
-            ):
-                yield parse_libsvm(chunk)
-        elif self.data_format == "csr":
-            from .converter import load_csr_shard
+    @property
+    def part_indices(self) -> list[int]:
+        """Parts this iterator owns. ``part_index`` may be an int (one
+        part) or a list (e.g. each host covering a contiguous range of
+        num_parts_per_file x num_hosts total parts — the reference's
+        scheduler issued every (file, part) pair as a job)."""
+        if isinstance(self.part_index, (list, tuple, range)):
+            return list(self.part_index)
+        return [self.part_index]
 
-            yield load_csr_shard(path, self.part_index, self.num_parts)
-        else:
-            raise ValueError(f"unknown data_format {self.data_format!r}")
+    def _blocks(self, path: str) -> Iterator[RowBlock]:
+        for part in self.part_indices:
+            if self.data_format == "libsvm":
+                for chunk in iter_file_chunks(
+                    path, self.chunk_bytes, part, self.num_parts
+                ):
+                    yield parse_libsvm(chunk)
+            elif self.data_format == "csr":
+                from .converter import load_csr_shard
+
+                yield load_csr_shard(path, part, self.num_parts)
+            else:
+                raise ValueError(f"unknown data_format {self.data_format!r}")

@@ -111,8 +111,10 @@ def iter_file_chunks(
             n = min(chunk_bytes, hi - pos)
             block = f.read(n)
             pos += len(block)
-            if pos >= hi:
-                # finish the final line even if it crosses hi
+            if pos >= hi and not block.endswith(b"\n"):
+                # finish the final line only if it actually crosses hi —
+                # a part boundary landing exactly on a newline belongs to
+                # the NEXT part (whose lo-adjustment starts right there)
                 block += f.readline()
                 pos = f.tell()
             cut = block.rfind(b"\n")

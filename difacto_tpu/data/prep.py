@@ -22,8 +22,8 @@ from .batch_iter import Batch
 
 # unique-lane bucket ladder: actual unique count is padded up to one of
 # these (few distinct sizes => few jit specializations)
-DEFAULT_BUCKETS = (1 << 14, 1 << 15, 1 << 16, 17 << 13, 1 << 17, 3 << 16, 1 << 18,
-                   3 << 17, 1 << 19, 3 << 18, 1 << 20)
+DEFAULT_BUCKETS = (1 << 14, 1 << 15, 1 << 16, 1 << 17, 17 << 13, 3 << 16,
+                   1 << 18, 3 << 17, 1 << 19, 3 << 18, 1 << 20)
 
 
 @dataclass

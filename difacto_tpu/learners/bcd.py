@@ -122,7 +122,7 @@ class BCDLearner:
 
         def block_step(py, w_blk, tile_r, tile_c, tile_v):
             # d = dl/dpy, h = d2l/dpy2 for l = log(1+exp(-y py))
-            sig = 1.0 / (1.0 + jnp.exp(-py))
+            sig = jax.nn.sigmoid(py)
             d = sig - (yy > 0)          # = -y*sigma(-y py)
             h = sig * (1.0 - sig)
             x_d = tile_v * d[tile_r]
@@ -139,8 +139,9 @@ class BCDLearner:
         self._block_step = jax.jit(block_step, donate_argnums=(0,))
 
         def metrics(py):
-            m = -yy * py
-            loss = jnp.log1p(jnp.exp(-jnp.abs(m))) + jnp.maximum(m, 0.0)
+            from ..models.losses import stable_logloss
+
+            loss = stable_logloss(-yy * py)
             correct = ((py > 0) == (yy > 0)).astype(jnp.float32)
             return jnp.sum(loss), jnp.sum(correct)
 

@@ -95,15 +95,19 @@ class SGDLearner:
         # every file (the dmlc InputSplit contract)
         import jax as _jax
 
-        part, nparts = _jax.process_index(), _jax.process_count()
+        pid, nproc = _jax.process_index(), _jax.process_count()
+        # total parts = hosts x num_parts_per_file; this host owns a
+        # contiguous range of them (reference: every (file, part) pair is
+        # a job; parts are record-aligned byte ranges)
+        nppf = max(d.num_parts_per_file, 1)
         it = BatchIter(
             uri,
             batch_size=d.batch_size,
             max_nnz=d.max_nnz_per_row,
             num_bits=d.num_bits,
             data_format=d.data_format,
-            part_index=part,
-            num_parts=max(nparts, d.num_parts_per_file) if nparts > 1 else 1,
+            part_index=range(pid * nppf, (pid + 1) * nppf),
+            num_parts=nproc * nppf,
             shuffle=shuffle and d.shuffle,
             # epoch-dependent seed: each epoch must shuffle differently AND
             # a resumed run must reproduce the interrupted epoch's order
@@ -212,7 +216,10 @@ class SGDLearner:
                 )
                 metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
-            if collected < _EXACT_AUC_CAP:
+            # multi-host: py is sharded across processes (not addressable
+            # here); the streaming binned AUC in `metrics` is additive and
+            # psum-replicated, so exact-AUC collection is single-host only
+            if jax.process_count() == 1 and collected < _EXACT_AUC_CAP:
                 keep = batch.mask > 0
                 pys.append(np.asarray(py)[keep])
                 ys.append(batch.labels[keep])

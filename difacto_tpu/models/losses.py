@@ -25,7 +25,16 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+
+def stable_logloss(margin: jnp.ndarray) -> jnp.ndarray:
+    """log(1 + exp(margin)), overflow-safe (margin = -y * py).
+
+    Single home for this expression — the learners and kernels reuse it.
+    """
+    return jnp.log1p(jnp.exp(-jnp.abs(margin))) + jnp.maximum(margin, 0.0)
 
 
 class FMForward(NamedTuple):
@@ -64,16 +73,10 @@ def logit_grad_coeff(py: jnp.ndarray, labels01: jnp.ndarray, mask: jnp.ndarray):
     Reference: LogitLoss::CalcGrad's tau = -y * sigma(-y*py).
     """
     y = 2.0 * labels01 - 1.0
-    m = -y * py
-    # log(1+exp(m)) stable
-    loss = (jnp.log1p(jnp.exp(-jnp.abs(m))) + jnp.maximum(m, 0.0)) * mask
-    d = (jax_sigmoid(py) - labels01) * mask
+    loss = stable_logloss(-y * py) * mask
+    d = (jax.nn.sigmoid(py) - labels01) * mask
     correct = ((py > 0) == (labels01 > 0.5)).astype(py.dtype) * mask
     return d, loss, correct
-
-
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def fm_loss_grad(

@@ -127,7 +127,7 @@ def _fm_chunk_kernel(
         py = lin
     py_ref[:] = py
     y = labels_ref[:]
-    d = (1.0 / (1.0 + jnp.exp(-py)) - y) * mask_ref[:]
+    d = (jax.nn.sigmoid(py) - y) * mask_ref[:]
     # one padded [8m, R] operand carries d and S together: avoids both an
     # N=1 matvec and (for k % 8 != 0) a sub-8-sublane matmul operand
     ds_rows = _pad8(1 + k)
@@ -190,6 +190,11 @@ def fm_chunk(
     b = labels.shape[0]
     nnz = sid.shape[0]
     k = rows_p.shape[0] - 1
+    if not interpret:
+        # Mosaic 1-D BlockSpec blocks must match the XLA tile (1024)
+        assert chunk_rows % 1024 == 0, (
+            f"chunk_rows {chunk_rows} must be a multiple of 1024 on TPU"
+        )
     assert b % chunk_rows == 0
     nchunks = b // chunk_rows
     assert nnz % nchunks == 0, "slots must be evenly chunked (incl. stream pad)"

@@ -298,13 +298,13 @@ class ShardedStore:
         self.mesh = mesh
         self.S = mesh.shape["shard"]
         self.num_rows = 1 << cfg.data.num_bits
-        assert self.num_rows % self.S == 0, "table rows must divide num_shards"
+        assert self.num_rows % self.S == 0, "num_shards must divide table rows"
         self.rows_per_shard = self.num_rows // self.S
         self.pallas = _use_pallas(cfg) or interpret
         self.interpret = interpret
         self.block_rows = min(cfg.shard.block_rows, self.rows_per_shard)
         assert cfg.data.batch_size % self.S == 0, (
-            f"batch_size {cfg.data.batch_size} must divide num_shards {self.S}"
+            f"num_shards {self.S} must divide batch_size {cfg.data.batch_size}"
         )
         local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or local_nnz
@@ -362,6 +362,16 @@ class ShardedStore:
 
     def shard_batch(self, ids, vals, labels, mask):
         specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+        if jax.process_count() > 1:
+            # each process contributes its LOCAL rows (from its disjoint
+            # input part) to a global batch of nproc x local rows —
+            # device_put alone would misinterpret local data as global
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, s), np.asarray(a)
+                )
+                for a, s in zip((ids, vals, labels, mask), specs)
+            )
         return tuple(
             jax.device_put(np.asarray(a), NamedSharding(self.mesh, s))
             for a, s in zip((ids, vals, labels, mask), specs)

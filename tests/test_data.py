@@ -125,3 +125,51 @@ def test_batchiter_epochs_and_formats(tmp_path):
     )
     total = sum(b.num_examples for b in it2)
     assert total == 300
+
+
+def test_chunk_boundary_on_newline_no_duplicates(tmp_path):
+    """A part boundary landing exactly on a newline must not duplicate
+    the line (the boundary line belongs to the part it started in)."""
+    path = tmp_path / "b.svm"
+    # craft lines so some num_parts=2..5 boundary lands exactly at a '\n'
+    lines = [f"1 {i}:1\n" for i in range(64)]
+    path.write_text("".join(lines))
+    size = path.stat().st_size
+    for num_parts in range(2, 6):
+        seen = []
+        for part in range(num_parts):
+            for chunk in iter_file_chunks(
+                str(path), chunk_bytes=16, part_index=part, num_parts=num_parts
+            ):
+                seen.extend(chunk.splitlines())
+        assert sorted(seen) == sorted(ln.strip().encode() for ln in lines), num_parts
+    # explicit exact-boundary case: boundary at size/2 on a newline
+    two = tmp_path / "c.svm"
+    two.write_text("1 1:1\n0 2:1\n")  # 6 bytes each -> boundary at 6
+    seen = []
+    for part in range(2):
+        for chunk in iter_file_chunks(str(two), part_index=part, num_parts=2):
+            seen.extend(chunk.splitlines())
+    assert seen == [b"1 1:1", b"0 2:1"]
+
+
+def test_multi_part_indices_cover_file(tmp_path):
+    """BatchIter with a part-index range iterates all owned parts
+    (num_parts_per_file semantics on one host)."""
+    blk = make_ctr_data(300, num_fields=4, vocab_per_field=40, seed=5)
+    svm = tmp_path / "p.svm"
+    write_libsvm(blk, str(svm))
+    it = BatchIter(
+        str(svm), batch_size=64, max_nnz=4, num_bits=12,
+        part_index=range(0, 4), num_parts=4,
+    )
+    assert sum(b.num_examples for b in it) == 300
+
+
+def test_num_bits_31_rejected():
+    import pytest as _pytest
+
+    from difacto_tpu.config import Config
+
+    with _pytest.raises(AssertionError):
+        Config.from_kwargs([("num_bits", "31")])
