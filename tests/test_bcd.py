@@ -63,3 +63,21 @@ def test_bcd_checkpoint(data, tmp_path):
     state, meta = checkpoint.load(str(tmp_path / "bcd_model"))
     assert meta["learner"] == "bcd"
     assert (np.asarray(state.w) != 0).sum() > 0
+
+
+def test_bcd_model_scored_via_predict_cli(data, tmp_path):
+    """A BCD-trained checkpoint scores through task=predict (the shared
+    checkpoint format; scoring always uses the SGD eval path)."""
+    from difacto_tpu.cli import main
+
+    cfg = _cfg(data, model_out=str(tmp_path / "m"), max_num_epochs="2")
+    BCDLearner(cfg).run()
+    out = tmp_path / "scores.txt"
+    rc = main([
+        "task=predict", "learner=bcd", f"model_in={tmp_path/'m'}",
+        f"data_in={data/'tr.svm'}", "batch_size=1024", "num_bits=13",
+        "max_nnz_per_row=12", "V_dim=0", f"pred_out={out}", "store=local",
+    ])
+    assert rc == 0
+    scores = np.loadtxt(out)
+    assert len(scores) == 4000 and np.isfinite(scores).all()
