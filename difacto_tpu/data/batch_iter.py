@@ -139,7 +139,11 @@ class BatchIter:
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
-        for path in self.files:
+        files = list(self.files)
+        if self.shuffle:
+            # multi-file datasets also shuffle file order per epoch
+            rng.shuffle(files)
+        for path in files:
             for blk in self._blocks(path):
                 yield from rowblock_to_batches(
                     blk,

@@ -173,3 +173,23 @@ def test_num_bits_31_rejected():
 
     with _pytest.raises(AssertionError):
         Config.from_kwargs([("num_bits", "31")])
+
+
+def test_file_order_shuffles_across_epochs(tmp_path):
+    """Multi-file datasets shuffle file order per epoch (shuffle=True)."""
+    paths = []
+    for i in range(4):
+        blk = make_ctr_data(64, num_fields=3, vocab_per_field=20, seed=10 + i)
+        p = tmp_path / f"f{i}.svm"
+        write_libsvm(blk, str(p))
+        paths.append(str(p))
+    it = BatchIter(paths, batch_size=64, max_nnz=3, num_bits=12, shuffle=True, seed=3)
+    e1 = np.concatenate([b.labels for b in it])
+    e2 = np.concatenate([b.labels for b in it])
+    assert e1.shape == e2.shape
+    assert (e1 != e2).any()  # different file/batch order
+    # no shuffle: stable order
+    it2 = BatchIter(paths, batch_size=64, max_nnz=3, num_bits=12, shuffle=False)
+    a = np.concatenate([b.labels for b in it2])
+    b2 = np.concatenate([b.labels for b in it2])
+    np.testing.assert_array_equal(a, b2)

@@ -174,3 +174,13 @@ def test_parallel_prep_matches_serial(data):
     pb = b.run()
     assert pa.exact_auc == pb.exact_auc
     np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-7)
+
+
+def test_table_stats_tool(data, tmp_path):
+    from difacto_tpu.tools.table_stats import stats
+
+    SGDLearner(_cfg(data, max_num_epochs=1, model_out=str(tmp_path / "m"))).run()
+    st = stats(str(tmp_path / "m"), shards=8)
+    assert st["touched"] > 0 and 0 < st["occupancy"] < 1
+    assert st["shard_load"]["max_over_mean"] >= 1.0
+    assert st["count_quantiles"]["max"] >= st["count_quantiles"]["p99"]
