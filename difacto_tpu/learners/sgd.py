@@ -238,6 +238,8 @@ class SGDLearner:
                 num_examples=float(m.examples),
                 logloss_sum=float(m.logloss_sum),
                 correct_sum=float(m.correct_sum),
+                label_sum=float(m.label_sum),
+                pred_sum=float(m.pred_sum),
                 auc_hist=np.asarray(m.auc_hist, dtype=np.float64),
             )
         )

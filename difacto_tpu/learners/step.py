@@ -26,13 +26,15 @@ class StepMetrics(NamedTuple):
     examples: jnp.ndarray      # f32 [] number of real rows
     logloss_sum: jnp.ndarray   # f32 []
     correct_sum: jnp.ndarray   # f32 []
+    label_sum: jnp.ndarray     # f32 [] sum of labels (clicks)
+    pred_sum: jnp.ndarray      # f32 [] sum of sigmoid(py) (predicted clicks)
     auc_hist: jnp.ndarray      # f32 [2, NUM_AUC_BINS]
     dropped_ids: jnp.ndarray   # f32 [] routing-capacity overflow (sharded only)
 
 
 def zero_metrics() -> StepMetrics:
     z = jnp.zeros((), jnp.float32)
-    return StepMetrics(z, z, z, jnp.zeros((2, NUM_AUC_BINS), jnp.float32), z)
+    return StepMetrics(z, z, z, z, z, jnp.zeros((2, NUM_AUC_BINS), jnp.float32), z)
 
 
 def worker_grads(
@@ -64,10 +66,14 @@ def worker_grads(
         [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
     )
     grads_u = jnp.zeros((U, D), flat.dtype).at[loc.inv].add(flat)
+    import jax as _jax
+
     metrics = StepMetrics(
         examples=jnp.sum(mask),
         logloss_sum=jnp.sum(g.loss),
         correct_sum=jnp.sum(g.correct),
+        label_sum=jnp.sum(labels * mask),
+        pred_sum=jnp.sum(_jax.nn.sigmoid(fwd.py) * mask),
         auc_hist=auc_hist_update(
             jnp.zeros((2, NUM_AUC_BINS), jnp.float32), fwd.py, labels, mask
         ),

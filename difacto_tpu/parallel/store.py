@@ -228,6 +228,8 @@ class LocalStore:
             examples=jnp.sum(mask),
             logloss_sum=jnp.sum(loss),
             correct_sum=jnp.sum(correct),
+            label_sum=jnp.sum(labels * mask),
+            pred_sum=jnp.sum(jax.nn.sigmoid(py) * mask),
             auc_hist=auc_hist_update(
                 jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
             ),
@@ -320,7 +322,7 @@ class ShardedStore:
             V=P(None, "shard"), nV=P(None, "shard"), cnt=P("shard"),
         )
         batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
-        metrics_spec = StepMetrics(P(), P(), P(), P(), P())
+        metrics_spec = StepMetrics(P(), P(), P(), P(), P(), P(), P())
         self._state_spec = state_spec
 
         train = jax.shard_map(

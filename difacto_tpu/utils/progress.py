@@ -26,6 +26,8 @@ class Progress:
     num_examples: float = 0.0
     logloss_sum: float = 0.0      # sum over examples of log(1 + exp(-y*py))
     correct_sum: float = 0.0      # examples with sign-correct prediction
+    label_sum: float = 0.0        # clicks
+    pred_sum: float = 0.0         # predicted clicks (sum of sigmoid(py))
     auc_hist: np.ndarray = field(
         default_factory=lambda: np.zeros((2, 1024), dtype=np.float64)
     )                              # binned (neg, pos) score histograms for AUC
@@ -37,6 +39,8 @@ class Progress:
         self.num_examples += other.num_examples
         self.logloss_sum += other.logloss_sum
         self.correct_sum += other.correct_sum
+        self.label_sum += other.label_sum
+        self.pred_sum += other.pred_sum
         self.auc_hist = self.auc_hist + other.auc_hist
         self.nnz_w = other.nnz_w or self.nnz_w
         self.nnz_V = other.nnz_V or self.nnz_V
@@ -51,6 +55,12 @@ class Progress:
         return self.correct_sum / max(self.num_examples, 1.0)
 
     @property
+    def copc(self) -> float:
+        """Clicks over predicted clicks — 1.0 means calibrated
+        (reference: the COPC column of BinClassMetric)."""
+        return self.label_sum / max(self.pred_sum, 1e-12)
+
+    @property
     def auc(self) -> float:
         from ..ops.metrics import auc_from_hist
 
@@ -60,6 +70,7 @@ class Progress:
         return (
             f"#ex {int(self.num_examples):>12d}  logloss {self.logloss:.6f}  "
             f"auc {self.auc:.6f}  acc {self.accuracy:.4f}  "
+            f"copc {self.copc:.4f}  "
             f"|w|>0 {int(self.nnz_w)}  |V|act {int(self.nnz_V)}"
         )
 
