@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.losses import ffm_loss_grad, fm_loss_grad
@@ -66,14 +67,12 @@ def worker_grads(
         [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
     )
     grads_u = jnp.zeros((U, D), flat.dtype).at[loc.inv].add(flat)
-    import jax as _jax
-
     metrics = StepMetrics(
         examples=jnp.sum(mask),
         logloss_sum=jnp.sum(g.loss),
         correct_sum=jnp.sum(g.correct),
         label_sum=jnp.sum(labels * mask),
-        pred_sum=jnp.sum(_jax.nn.sigmoid(fwd.py) * mask),
+        pred_sum=jnp.sum(jax.nn.sigmoid(fwd.py) * mask),
         auc_hist=auc_hist_update(
             jnp.zeros((2, NUM_AUC_BINS), jnp.float32), fwd.py, labels, mask
         ),
