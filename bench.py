@@ -159,7 +159,53 @@ def bench_numpy() -> float:
     return BATCH * NP_STEPS / dt
 
 
+def _device_healthy(timeout_s: int = 120) -> bool:
+    """Probe the device in a subprocess: a wedged tunneled TPU hangs every
+    op including client teardown (see .claude/skills/verify/SKILL.md), so
+    the probe must be killable."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    # a killed/OOM'd client can wedge the remote TPU runtime for ~45-75
+    # min; wait it out rather than hanging the harness forever
+    retries = int(os.environ.get("BENCH_HEALTH_RETRIES", 5))
+    for attempt in range(retries):
+        if _device_healthy():
+            break
+        print(
+            json.dumps({"note": f"device unresponsive, retry {attempt + 1}/{retries}"}),
+            file=__import__("sys").stderr, flush=True,
+        )
+        time.sleep(600)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "fm_k16_train_examples_per_sec",
+                    "value": 0,
+                    "unit": "examples/s/chip",
+                    "vs_baseline": 0,
+                    "error": "device unresponsive (wedged TPU runtime)",
+                }
+            )
+        )
+        return
     eps_np = (
         1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
     )
