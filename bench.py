@@ -192,7 +192,8 @@ def main():
             json.dumps({"note": f"device unresponsive, retry {attempt + 1}/{retries}"}),
             file=__import__("sys").stderr, flush=True,
         )
-        time.sleep(600)
+        if attempt + 1 < retries:
+            time.sleep(600)
     else:
         print(
             json.dumps(
