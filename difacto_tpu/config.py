@@ -75,6 +75,10 @@ class DataParam(ParamBase):
     num_bits: int = 22             # hashed feature space = 2**num_bits rows
     host_localize: bool = True     # dedup ids in the prefetch thread
     prep_workers: int = 4          # threads for batch padding/dedup prep
+    cache_batches: bool = False    # keep epoch-0 prepped batches in RAM and
+                                   # reuse them (reference DataStore: epochs
+                                   # >1 skip parse+localize; fixes batch
+                                   # order across epochs like the reference)
     seed: int = 0
 
     def validate(self) -> None:

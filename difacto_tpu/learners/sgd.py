@@ -71,6 +71,8 @@ class SGDLearner:
             )
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
+        # reference DataStore: cache processed batches across epochs
+        self._batch_cache: dict[str, list] = {}
         self._epoch = 0
         self._resume_step = 0  # batches already consumed in self._epoch
         if cfg.learner.model_in:
@@ -89,8 +91,15 @@ class SGDLearner:
 
     def _iter(
         self, uri: str, shuffle: bool, localize: bool | None = None, epoch: int = 0
-    ) -> ThreadedIter[Batch]:
+    ):
         d = self.cfg.data
+        cache_key = f"{uri}|{localize}" if d.cache_batches else None
+        if cache_key is not None and cache_key in self._batch_cache:
+            return iter(self._batch_cache[cache_key])
+        if cache_key is not None:
+            # the cache fixes one batch order for every epoch (the
+            # reference's DataStore reuses the same compacted batches too)
+            epoch = 0
         # multi-host: each process reads a disjoint byte-range part of
         # every file (the dmlc InputSplit contract)
         import jax as _jax
@@ -132,12 +141,16 @@ class SGDLearner:
             from ..utils.prefetch import MappedPrefetchIter
 
             # parse runs in its own thread; prep fans out to a pool
-            return MappedPrefetchIter(
+            out = MappedPrefetchIter(
                 ThreadedIter(src, depth=4), fn, workers=d.prep_workers
             )
-        if fn is not None:
-            src = map(fn, src)
-        return ThreadedIter(src, depth=4)
+        else:
+            out = ThreadedIter(map(fn, src) if fn is not None else src, depth=4)
+        if cache_key is not None:
+            cached = list(out)
+            self._batch_cache[cache_key] = cached
+            return iter(cached)
+        return out
 
     # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------
 

@@ -184,3 +184,19 @@ def test_table_stats_tool(data, tmp_path):
     assert st["touched"] > 0 and 0 < st["occupancy"] < 1
     assert st["shard_load"]["max_over_mean"] >= 1.0
     assert st["count_quantiles"]["max"] >= st["count_quantiles"]["p99"]
+
+
+def test_cache_batches_matches_uncached_epoch0(data):
+    """cache_batches reuses epoch-0 prepped batches (reference DataStore);
+    results match a run whose every epoch uses the epoch-0 order."""
+    import time
+
+    a = SGDLearner(_cfg(data, max_num_epochs=3, store="local", cache_batches="true"))
+    pa = a.run()
+    assert a._batch_cache  # populated
+    assert pa.exact_auc is not None and pa.exact_auc > 0.6
+    # second epoch reused cached batches: iterating again returns the
+    # same objects
+    it1 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=0))
+    it2 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=1))
+    assert all(x is y for x, y in zip(it1, it2))
