@@ -159,7 +159,7 @@ def bench_numpy() -> float:
     return BATCH * NP_STEPS / dt
 
 
-def _device_healthy(timeout_s: int = 120) -> bool:
+def _device_healthy(timeout_s: int = 600) -> bool:
     """Probe the device in a subprocess: a wedged tunneled TPU hangs every
     op including client teardown (see .claude/skills/verify/SKILL.md), so
     the probe must be killable."""
@@ -185,6 +185,9 @@ def main():
     # a killed/OOM'd client can wedge the remote TPU runtime for ~45-75
     # min; wait it out rather than hanging the harness forever
     retries = int(os.environ.get("BENCH_HEALTH_RETRIES", 5))
+    # 0 disables the pre-flight entirely. The probe timeout is generous
+    # (600s) because a fresh process's FIRST fetch over the tunnel can
+    # legitimately take minutes on a healthy device.
     for attempt in range(retries):
         if _device_healthy():
             break
@@ -195,18 +198,19 @@ def main():
         if attempt + 1 < retries:
             time.sleep(600)
     else:
-        print(
-            json.dumps(
-                {
-                    "metric": "fm_k16_train_examples_per_sec",
-                    "value": 0,
-                    "unit": "examples/s/chip",
-                    "vs_baseline": 0,
-                    "error": "device unresponsive (wedged TPU runtime)",
-                }
+        if retries > 0:  # retries <= 0 disables the pre-flight
+            print(
+                json.dumps(
+                    {
+                        "metric": "fm_k16_train_examples_per_sec",
+                        "value": 0,
+                        "unit": "examples/s/chip",
+                        "vs_baseline": 0,
+                        "error": "device unresponsive (wedged TPU runtime)",
+                    }
+                )
             )
-        )
-        return
+            return
     eps_np = (
         1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
     )

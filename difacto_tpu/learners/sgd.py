@@ -93,7 +93,14 @@ class SGDLearner:
         self, uri: str, shuffle: bool, localize: bool | None = None, epoch: int = 0
     ):
         d = self.cfg.data
-        cache_key = f"{uri}|{localize}" if d.cache_batches else None
+        # cache key covers everything that changes batch content/order;
+        # the raw count-pass stream (localize=False) is never cached (it
+        # runs once and would pin a second copy of the dataset in RAM)
+        cache_key = (
+            f"{uri}|{localize}|{shuffle}"
+            if d.cache_batches and localize is not False
+            else None
+        )
         if cache_key is not None and cache_key in self._batch_cache:
             return iter(self._batch_cache[cache_key])
         if cache_key is not None:
@@ -147,9 +154,16 @@ class SGDLearner:
         else:
             out = ThreadedIter(map(fn, src) if fn is not None else src, depth=4)
         if cache_key is not None:
-            cached = list(out)
-            self._batch_cache[cache_key] = cached
-            return iter(cached)
+            # fill the cache lazily so epoch 0 still streams (prep
+            # overlapped with device steps); complete at exhaustion
+            def caching():
+                acc = []
+                for item in out:
+                    acc.append(item)
+                    yield item
+                self._batch_cache[cache_key] = acc
+
+            return caching()
         return out
 
     # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------

@@ -46,18 +46,20 @@ def stats(prefix: str, shards: int = 0, topk: int = 10) -> dict:
         out["top_rows"] = [
             {"row": int(r), "count": float(cnt[r])} for r in order[:topk]
         ]
-        srt = np.sort(cnt)[::-1]
-        csum = np.cumsum(srt)
+        csum = np.cumsum(cnt[order])
         for frac in (0.001, 0.01, 0.1):
             k = max(int(n * frac), 1)
             out[f"traffic_share_top_{frac:g}"] = float(csum[k - 1] / total)
-    if shards > 1 and n % shards == 0:
-        per = cnt.reshape(shards, -1).sum(axis=1)
-        out["shard_load"] = {
-            "mean": float(per.mean()),
-            "max_over_mean": float(per.max() / max(per.mean(), 1e-12)),
-            "min_over_mean": float(per.min() / max(per.mean(), 1e-12)),
-        }
+    if shards > 1:
+        if n % shards:
+            out["shard_load"] = f"unavailable: {shards} does not divide {n} rows"
+        else:
+            per = cnt.reshape(shards, -1).sum(axis=1)
+            out["shard_load"] = {
+                "mean": float(per.mean()),
+                "max_over_mean": float(per.max() / max(per.mean(), 1e-12)),
+                "min_over_mean": float(per.min() / max(per.mean(), 1e-12)),
+            }
     return out
 
 

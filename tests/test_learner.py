@@ -200,3 +200,15 @@ def test_cache_batches_matches_uncached_epoch0(data):
     it1 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=0))
     it2 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=1))
     assert all(x is y for x, y in zip(it1, it2))
+
+
+def test_cache_batches_predict_order_not_shuffled(data):
+    """With cache_batches, predict over the training URI must NOT reuse
+    the shuffled training batches (scores must align with file order)."""
+    lrn = SGDLearner(_cfg(data, max_num_epochs=1, store="local", cache_batches="true"))
+    lrn.run()
+    py1, y1 = lrn.predict(str(data / "train.svm"))
+    # file order: labels from a fresh unshuffled read
+    lrn2 = SGDLearner(_cfg(data, max_num_epochs=0, store="local"))
+    py2, y2 = lrn2.predict(str(data / "train.svm"))
+    np.testing.assert_array_equal(y1, y2)  # same (file) order both times
