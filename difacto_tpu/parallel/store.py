@@ -59,6 +59,12 @@ def _use_pallas(cfg: Config) -> bool:
     kind = cfg.shard.kernel
     if kind == "auto":
         return False
+    if kind == "pallas" and jax.default_backend() != "tpu":
+        raise ValueError(
+            "kernel=pallas needs the TPU backend (Mosaic kernels); on CPU "
+            "use kernel=xla, or construct the store with interpret=True "
+            "for kernel testing"
+        )
     return kind == "pallas"
 
 
