@@ -14,11 +14,23 @@ is unreliable over the tunneled TPU transport, so completion is forced
 with a scalar fetch; the first fetch in a process pays a large one-time
 tunnel cost and is excluded via warmup.
 
+Resilience contract (round-1 postmortem: the driver's capture timed out
+while a health-probe loop slept): ALL device-touching work runs in a
+child process killed after BENCH_BUDGET_S seconds (default 540), and the
+parent ALWAYS prints exactly one well-formed JSON line and exits 0 —
+a wedged TPU runtime yields {"value": 0, "error": ...} instead of a hang.
+
 Variants (env vars):
   BENCH_KERNEL=pallas|xla   table access path        (default xla)
   BENCH_PREP=host|device    id dedup location        (default host)
+  BENCH_STORE=local|sharded store implementation     (default local)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
   BENCH_STEPS, BENCH_SKIP_NUMPY
+  BENCH_BUDGET_S            child wall-clock cap     (default 540)
+  BENCH_HEALTH_RETRIES      extra child attempts after a failure,
+                            sleeping BENCH_HEALTH_SLEEP s between
+                            (default 0 — opt-in; a wedged runtime can
+                            take ~45 min to clear)
 """
 
 from __future__ import annotations
@@ -58,7 +70,7 @@ def make_batches(n, seed=0):
 
 def _store():
     from difacto_tpu.config import Config
-    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.parallel.store import LocalStore, ShardedStore
     from difacto_tpu.updaters.updater import FMUpdater
 
     kernel = os.environ.get("BENCH_KERNEL", "xla")
@@ -72,25 +84,34 @@ def _store():
         ]
     )
     upd = FMUpdater(cfg.model)
+    if os.environ.get("BENCH_STORE", "local") == "sharded":
+        return ShardedStore(upd, cfg)
     return LocalStore(upd, cfg)
 
 
 def bench_tpu() -> dict:
     import jax
 
-    from difacto_tpu.data.prep import prep_batch
+    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
+    from difacto_tpu.parallel.store import ShardedStore
 
     store = _store()
     state = store.init_state(0)
     batches = make_batches(8)
     prep = os.environ.get("BENCH_PREP", "host") == "host"
-    if prep:
+    if prep and isinstance(store, ShardedStore):
+        pbs = [prep_batch_sharded(b, 1 << NUM_BITS, store.S) for b in batches]
+        ub = {p.ub for p in pbs}
+        step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
+    elif prep:
         pbs = [prep_batch(b, 1 << NUM_BITS) for b in batches]
         ub = {p.uids.shape[0] for p in pbs}
         step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     else:
         ub = {BATCH * NNZ}
-        dev = [tuple(map(jax.device_put, (b.ids, b.vals, b.labels, b.mask))) for b in batches]
+        dev = [
+            store.shard_batch(b.ids, b.vals, b.labels, b.mask) for b in batches
+        ]
         step = lambda s, i: store.train_step(s, *dev[i % len(dev)])
 
     # warmup: compile all bucket variants + pay one-time fetch cost
@@ -159,69 +180,83 @@ def bench_numpy() -> float:
     return BATCH * NP_STEPS / dt
 
 
-def _device_healthy(timeout_s: int = 600) -> bool:
-    """Probe the device in a subprocess: a wedged tunneled TPU hangs every
-    op including client teardown (see .claude/skills/verify/SKILL.md), so
-    the probe must be killable."""
+def _run_child(budget_s: float) -> tuple[dict | None, str]:
+    """Run the device benchmark in a killable subprocess.
+
+    A wedged tunneled TPU runtime hangs EVERY op including client
+    teardown (see .claude/skills/verify/SKILL.md), so no in-process
+    timeout (signal/thread) can interrupt it — the work must live in a
+    child the parent can kill. Returns (result_dict | None, error_note).
+    """
     import subprocess
     import sys
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "x = jnp.ones((128, 128));"
-        "print(float((x @ x).sum()))"
-    )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
+            [sys.executable, os.path.abspath(__file__), "--device-run"],
+            timeout=budget_s, capture_output=True, text=True,
         )
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return None, f"device benchmark exceeded {budget_s:.0f}s budget (wedged TPU runtime?)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        return None, "device benchmark failed: " + " | ".join(tail)
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "examples_per_sec" in obj:
+            return obj, ""
+    return None, "device benchmark produced no result line"
 
 
 def main():
-    # a killed/OOM'd client can wedge the remote TPU runtime for ~45-75
-    # min; wait it out rather than hanging the harness forever
-    retries = int(os.environ.get("BENCH_HEALTH_RETRIES", 5))
-    # 0 disables the pre-flight entirely. The probe timeout is generous
-    # (600s) because a fresh process's FIRST fetch over the tunnel can
-    # legitimately take minutes on a healthy device.
-    for attempt in range(retries):
-        if _device_healthy():
+    import sys
+
+    if "--device-run" in sys.argv:  # child: device work only
+        if os.environ.get("BENCH_CPU"):  # harness testing without the TPU
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(bench_tpu()), flush=True)
+        return
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", 540))
+    # extra attempts are OPT-IN: a killed/OOM'd client can wedge the
+    # remote TPU runtime for ~45-75 min, far beyond any driver timeout,
+    # so by default we report the failure immediately instead of waiting
+    retries = int(os.environ.get("BENCH_HEALTH_RETRIES", 0))
+    sleep_s = float(os.environ.get("BENCH_HEALTH_SLEEP", 600))
+    r, err = _run_child(budget)
+    for _ in range(retries):
+        if r is not None:
             break
+        print(json.dumps({"note": f"retrying after: {err}"}), file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+        r, err = _run_child(budget)
+    if r is None:
         print(
-            json.dumps({"note": f"device unresponsive, retry {attempt + 1}/{retries}"}),
-            file=__import__("sys").stderr, flush=True,
+            json.dumps(
+                {
+                    "metric": "fm_k16_train_examples_per_sec",
+                    "value": 0,
+                    "unit": "examples/s/chip",
+                    "vs_baseline": 0,
+                    "error": err,
+                }
+            ),
+            flush=True,
         )
-        if attempt + 1 < retries:
-            time.sleep(600)
-    else:
-        if retries > 0:  # retries <= 0 disables the pre-flight
-            print(
-                json.dumps(
-                    {
-                        "metric": "fm_k16_train_examples_per_sec",
-                        "value": 0,
-                        "unit": "examples/s/chip",
-                        "vs_baseline": 0,
-                        "error": "device unresponsive (wedged TPU runtime)",
-                    }
-                )
-            )
-            return
-    eps_np = (
-        1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
-    )
-    r = bench_tpu()
+        return
+    eps_np = 1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
     out = {
         "metric": "fm_k16_train_examples_per_sec",
         "value": round(r["examples_per_sec"], 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(r["examples_per_sec"] / eps_np, 2),
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     if os.environ.get("BENCH_DETAIL"):
         print(json.dumps(r), flush=True)
 

@@ -129,31 +129,52 @@ def prep_batch_sorted(
     )
 
 
-def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedBatch:
-    """np.unique localization of one padded batch (reference:
-    Localizer::Compact — sort, dedup, rewrite indices, count)."""
-    flat = batch.ids.reshape(-1).astype(np.int64)
+def _localize_ids(ids: np.ndarray, num_rows: int):
+    """np.unique over one shard's padded ids (PAD_ID=-1 -> sentinel
+    num_rows, which sorts last). Returns (uids, inv, counts, has_sentinel,
+    n_real)."""
+    flat = ids.reshape(-1).astype(np.int64)
     keys = np.where(flat < 0, num_rows, flat)
     uids, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
     has_sentinel = bool(len(uids)) and uids[-1] == num_rows
     n_real = len(uids) - int(has_sentinel)
-    ub = bucket_for(max(n_real, 1), buckets)
+    return uids, inv, counts, has_sentinel, n_real
+
+
+def _pack_localized(uids, inv, counts, has_sentinel, n_real, num_rows, ub):
+    """Pad/truncate one shard's unique set to exactly ``ub`` lanes.
+
+    When the real unique count does not fit (fixed bucket smaller than
+    the batch's uniques), the overflowing ids are DROPPED and counted:
+    lane ub-1 is reserved as an invalid junk lane and every slot of a
+    dropped id (and of input padding) points there. Returns
+    (uids, counts, inv, valid, n_dropped)."""
+    n_keep = min(n_real, ub)
+    if (has_sentinel or n_keep < n_real) and n_keep == ub:
+        n_keep = ub - 1  # reserve a junk lane for sentinel/dropped slots
+    dropped = n_real - n_keep
     u_out = np.full(ub, num_rows, np.int32)
     c_out = np.zeros(ub, np.float32)
-    u_out[:n_real] = uids[:n_real]
-    c_out[:n_real] = counts[:n_real]
+    u_out[:n_keep] = uids[:n_keep]
+    c_out[:n_keep] = counts[:n_keep]
     valid = np.zeros(ub, bool)
-    valid[:n_real] = True
-    # sentinel slots in inv point past the real lanes; clamp them to the
-    # first padding lane (ub-1 exists because ub >= max(n_real,1); when
-    # n_real == ub there are no sentinel slots unless has_sentinel, in
-    # which case ub > n_real is guaranteed by bucket_for only if sizes
-    # differ — so re-bucket if full)
-    if has_sentinel and n_real == ub:
-        return prep_batch(batch, num_rows, tuple(b for b in buckets if b > ub) + (n_real + 1,))
+    valid[:n_keep] = True
     inv = inv.astype(np.int32)
-    if has_sentinel:
-        inv = np.where(inv == n_real, ub - 1 if n_real < ub else n_real, inv)
+    if has_sentinel or dropped:
+        inv = np.where(inv >= n_keep, ub - 1, inv)
+    return u_out, c_out, inv, valid, dropped
+
+
+def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedBatch:
+    """np.unique localization of one padded batch (reference:
+    Localizer::Compact — sort, dedup, rewrite indices, count)."""
+    uids, inv, counts, has_sentinel, n_real = _localize_ids(batch.ids, num_rows)
+    # the bucket must leave a junk lane for sentinel slots when present
+    ub = bucket_for(max(n_real + int(has_sentinel), 1), buckets)
+    u_out, c_out, inv, valid, dropped = _pack_localized(
+        uids, inv, counts, has_sentinel, n_real, num_rows, ub
+    )
+    assert dropped == 0  # bucket_for always fits (falls back to exact size)
     return PreppedBatch(
         vals=batch.vals,
         labels=batch.labels,
@@ -162,4 +183,83 @@ def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedB
         ucounts=c_out,
         inv=inv.reshape(-1),
         valid=valid,
+    )
+
+
+@dataclass
+class ShardPreppedBatch:
+    """Host-localized batch for the ShardedStore: per-shard unique sets.
+
+    The reference's production path IS the distributed one (StoreDist over
+    ps-lite, ``src/store/store_dist.h``), with the Localizer running on
+    worker CPUs — this is the equivalent: the batch's rows are split into
+    ``num_shards`` contiguous row groups (one per device along the
+    ``shard`` mesh axis), each group is deduplicated on the host, and the
+    per-shard unique sets are stacked flat so a shard_map with
+    P('shard') in_specs hands every device exactly its own localization.
+    All shards share one bucket size ``ub`` (max over shards, padded up
+    the bucket ladder) so one jit specialization serves the whole batch.
+    """
+
+    vals: np.ndarray     # f32 [B, L]     (global batch layout, row-split)
+    labels: np.ndarray   # f32 [B]
+    mask: np.ndarray     # f32 [B]
+    uids: np.ndarray     # i32 [S*ub]     per-shard sorted uniques, stacked
+    ucounts: np.ndarray  # f32 [S*ub]
+    inv: np.ndarray      # i32 [B*L]      slot -> unique lane (shard-local)
+    valid: np.ndarray    # bool [S*ub]
+    dropped: np.ndarray  # f32 [S]        unique ids dropped by a fixed bucket
+    ub: int
+    num_shards: int
+
+    @property
+    def num_examples(self) -> int:
+        return int(self.mask.sum())
+
+
+def prep_batch_sharded(
+    batch: Batch,
+    num_rows: int,
+    num_shards: int,
+    buckets=DEFAULT_BUCKETS,
+    fixed_ub: int | None = None,
+) -> ShardPreppedBatch:
+    """Per-shard host localization (see ShardPreppedBatch).
+
+    ``fixed_ub`` pins the bucket size — REQUIRED in multi-process runs,
+    where every process preps its local rows independently but all
+    processes must trace identical shapes (dropped ids are counted in
+    ``dropped`` and surface as metrics.dropped_ids)."""
+    b, l = batch.ids.shape
+    assert b % num_shards == 0, "num_shards must divide the batch rows"
+    bs = b // num_shards
+    per = [
+        _localize_ids(batch.ids[s * bs : (s + 1) * bs], num_rows)
+        for s in range(num_shards)
+    ]
+    if fixed_ub is None:
+        need = max(max(n_real + int(has_s), 1) for *_, has_s, n_real in per)
+        ub = bucket_for(need, buckets)
+    else:
+        ub = fixed_ub
+    u_st = np.empty((num_shards, ub), np.int32)
+    c_st = np.empty((num_shards, ub), np.float32)
+    inv_st = np.empty((num_shards, bs * l), np.int32)
+    v_st = np.empty((num_shards, ub), bool)
+    d_st = np.empty(num_shards, np.float32)
+    for s, (uids, inv, counts, has_s, n_real) in enumerate(per):
+        u_st[s], c_st[s], inv_st[s], v_st[s], d_st[s] = _pack_localized(
+            uids, inv, counts, has_s, n_real, num_rows, ub
+        )
+    return ShardPreppedBatch(
+        vals=batch.vals,
+        labels=batch.labels,
+        mask=batch.mask,
+        uids=u_st.reshape(-1),
+        ucounts=c_st.reshape(-1),
+        inv=inv_st.reshape(-1),
+        valid=v_st.reshape(-1),
+        dropped=d_st,
+        ub=ub,
+        num_shards=num_shards,
     )

@@ -51,9 +51,9 @@ class SGDLearner:
         self.store = make_store(self.updater, cfg)
         from ..parallel.store import LocalStore
 
-        self._host_localize = bool(cfg.data.host_localize) and isinstance(
-            self.store, LocalStore
-        )
+        # host localization (data/prep.py) serves BOTH stores: LocalStore
+        # gets one global unique set, ShardedStore one per device shard
+        self._host_localize = bool(cfg.data.host_localize)
         pl_mode = cfg.shard.pipeline
         # sorted pipeline is opt-in for now: its fused-FM kernel's
         # non-blocked output is VMEM-staged by Mosaic, capping batch sizes
@@ -116,9 +116,12 @@ class SGDLearner:
         # contiguous range of them (reference: every (file, part) pair is
         # a job; parts are record-aligned byte ranges)
         nppf = max(d.num_parts_per_file, 1)
+        # batch_size is the GLOBAL batch: with multiple processes each
+        # loader produces its 1/nproc slice of every step's batch
+        assert d.batch_size % nproc == 0, "process count must divide batch_size"
         it = BatchIter(
             uri,
-            batch_size=d.batch_size,
+            batch_size=d.batch_size // nproc,
             max_nnz=d.max_nnz_per_row,
             num_bits=d.num_bits,
             data_format=d.data_format,
@@ -141,9 +144,23 @@ class SGDLearner:
             cr = self.cfg.shard.chunk_rows
             fn = lambda b: prep_batch_sorted(b, num_rows, br, cr)
         elif self._host_localize if localize is None else localize:
-            from ..data.prep import prep_batch
+            from ..parallel.store import ShardedStore
 
-            fn = lambda b: prep_batch(b, num_rows)
+            if isinstance(self.store, ShardedStore):
+                from ..data.prep import prep_batch_sharded
+
+                # prep covers this process's rows over its LOCAL devices;
+                # multi-process runs pin the bucket so all processes trace
+                # identical shapes (overflow is counted, never silent)
+                n_local = jax.local_device_count()
+                fixed = self.store.unique_size if nproc > 1 else None
+                fn = lambda b: prep_batch_sharded(
+                    b, num_rows, n_local, fixed_ub=fixed
+                )
+            else:
+                from ..data.prep import prep_batch
+
+                fn = lambda b: prep_batch(b, num_rows)
         if fn is not None and d.prep_workers > 1:
             from ..utils.prefetch import MappedPrefetchIter
 

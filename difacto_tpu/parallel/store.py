@@ -317,11 +317,9 @@ class ShardedStore:
         local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or local_nnz
         self.loss = cfg.learner.loss
-        # per-(src,dst) all_to_all slot capacity
-        perfect = (self.unique_size + self.S - 1) // self.S
-        self.capacity = _round_up(
-            max(int(perfect * cfg.shard.capacity_factor), 8), 8
-        )
+        # per-(src,dst) all_to_all slot capacity for the worst-case path
+        # (the prepped path re-derives it from the actual unique bucket)
+        self.capacity = self._capacity_for(self.unique_size)
 
         state_spec = FMState(
             w=P("shard"), z=P("shard"), n=P("shard"),
@@ -356,6 +354,46 @@ class ShardedStore:
         )
         self.count_step = jax.jit(countf, donate_argnums=0)
 
+        # host-localized (prepped) fast path: per-shard unique sets come
+        # stacked from data/prep.py::prep_batch_sharded; no on-device
+        # unique, and the all_to_all capacity shrinks to the actual
+        # unique bucket instead of the worst-case B*L/S
+        prepped_specs = (
+            P("shard", None),  # vals [B, L]
+            P("shard"),        # labels [B]
+            P("shard"),        # mask [B]
+            P("shard"),        # uids [S*ub]
+            P("shard"),        # ucounts [S*ub]
+            P("shard"),        # inv [B*L]
+            P("shard"),        # valid [S*ub]
+            P("shard"),        # dropped [S]
+        )
+        self._prepped_specs = prepped_specs
+        ptrain = jax.shard_map(
+            self._prepped_step,
+            mesh=self.mesh,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+            in_specs=(state_spec,) + prepped_specs,
+            out_specs=(state_spec, metrics_spec),
+        )
+        self._jit_prepped_step = jax.jit(ptrain, donate_argnums=0)
+        peval = jax.shard_map(
+            self._prepped_eval,
+            mesh=self.mesh,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+            in_specs=(state_spec,) + prepped_specs,
+            out_specs=(metrics_spec, P("shard")),
+        )
+        self._jit_prepped_eval = jax.jit(peval)
+
+    def _capacity_for(self, unique_lanes: int) -> int:
+        """Per-(src,dst) all_to_all slot capacity for a given per-device
+        unique-lane count (ps-lite analog: the per-server request size)."""
+        perfect = (unique_lanes + self.S - 1) // self.S
+        return _round_up(
+            max(int(perfect * self.cfg.shard.capacity_factor), 8), 8
+        )
+
     # -- placement ----------------------------------------------------------
 
     def init_state(self, seed: int = 0) -> FMState:
@@ -368,8 +406,7 @@ class ShardedStore:
 
         return _init()
 
-    def shard_batch(self, ids, vals, labels, mask):
-        specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+    def _place(self, arrays, specs):
         if jax.process_count() > 1:
             # each process contributes its LOCAL rows (from its disjoint
             # input part) to a global batch of nproc x local rows —
@@ -378,18 +415,39 @@ class ShardedStore:
                 jax.make_array_from_process_local_data(
                     NamedSharding(self.mesh, s), np.asarray(a)
                 )
-                for a, s in zip((ids, vals, labels, mask), specs)
+                for a, s in zip(arrays, specs)
             )
         return tuple(
             jax.device_put(np.asarray(a), NamedSharding(self.mesh, s))
-            for a, s in zip((ids, vals, labels, mask), specs)
+            for a, s in zip(arrays, specs)
         )
+
+    def shard_batch(self, ids, vals, labels, mask):
+        specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+        return self._place((ids, vals, labels, mask), specs)
+
+    def shard_prepped(self, pb):
+        """Place a ShardPreppedBatch (data/prep.py) onto the mesh. In
+        multi-process runs each process passes the prep of its LOCAL rows
+        (stacked over its local devices) — prep must use a fixed bucket
+        so all processes trace identical shapes."""
+        return self._place(
+            (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
+             pb.valid, pb.dropped),
+            self._prepped_specs,
+        )
+
+    def train_step_prepped(self, state, pb):
+        return self._jit_prepped_step(state, *self.shard_prepped(pb))
+
+    def eval_step_prepped(self, state, pb):
+        return self._jit_prepped_eval(state, *self.shard_prepped(pb))
 
     # -- per-device program (runs inside shard_map) -------------------------
 
     def _routing(self, loc: Localized):
         """Bucket the sorted local unique ids into per-owner capacity slots."""
-        S, C = self.S, self.capacity
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
         U = loc.uids.shape[0]
         owner = jnp.minimum(loc.uids // self.rows_per_shard, S - 1)
         # uids sorted ascending => owner non-decreasing => buckets contiguous
@@ -401,7 +459,7 @@ class ShardedStore:
         return pos, ok, dropped
 
     def _pull(self, state, loc):
-        S, C = self.S, self.capacity
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
         D = 1 + self.updater.param.V_dim
         pos, ok, dropped = self._routing(loc)
         send_ids = (
@@ -427,7 +485,7 @@ class ShardedStore:
         return rows_u, ctx, dropped
 
     def _push(self, state, loc, grads_u, ctx):
-        S, C = self.S, self.capacity
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
         D = grads_u.shape[1]
         pos, ok, lidx, rvalid = ctx
         payload = jnp.concatenate([grads_u, loc.counts[:, None]], axis=1)  # [U, D+1]
@@ -487,11 +545,34 @@ class ShardedStore:
         )
         return self._psum_metrics(metrics, dropped), py
 
+    # -- host-localized (prepped) path: the Localizer ran on worker CPUs
+    # in the reference too (src/data/localizer.h); each device receives
+    # its own pre-deduplicated unique set and skips the on-device unique
+
+    def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv,
+                      valid, dropped_prep):
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, ctx, dropped = self._pull(state, loc)
+        grads_u, _, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
+        state = self._push(state, loc, grads_u, ctx)
+        return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
+
+    def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv,
+                      valid, dropped_prep):
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, _, dropped = self._pull(state, loc)
+        _, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
+        return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
+
     def _count(self, state, ids):
         """Sharded feature-frequency pass: route per-unique counts to the
         owning shard via all_to_all, owner scatter-adds into cnt."""
-        S, C = self.S, self.capacity
         loc = localize(ids, self.num_rows, self.unique_size)
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
         pos, ok, _ = self._routing(loc)
         send_ids = (
             jnp.full(S * C + 1, -1, jnp.int32)
