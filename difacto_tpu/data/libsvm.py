@@ -41,10 +41,10 @@ class RowBlock:
 
 def parse_libsvm_numpy(data: bytes) -> RowBlock:
     """Vectorized libsvm parse. Supports 'label i:v i:v ...' lines; ignores
-    blank lines and '#' comments. Bare indices ('i' without ':v') are not
-    supported (the reference's parser treats them as value 1.0 — our C++
-    engine does too; the numpy engine requires explicit values)."""
-    lines = [ln for ln in data.splitlines() if ln and not ln.lstrip().startswith(b"#")]
+    blank lines and '#' comments. Bare indices ('i' without ':v') mean
+    value 1.0, matching the dmlc parser and the C++ engine (dmlc-core
+    ``libsvm_parser.h`` semantics)."""
+    lines = [ln for ln in data.splitlines() if ln.strip() and not ln.lstrip().startswith(b"#")]
     if not lines:
         return RowBlock(
             np.zeros(0, np.float32),
@@ -54,26 +54,30 @@ def parse_libsvm_numpy(data: bytes) -> RowBlock:
         )
     buf = b"\n".join(lines) + b"\n"
     arr = np.frombuffer(buf, np.uint8)
-    nl = np.flatnonzero(arr == 0x0A)
-    colons = np.flatnonzero(arr == 0x3A)
-    nnz = np.bincount(np.searchsorted(nl, colons, side="right"), minlength=len(nl)).astype(
-        np.int64
+    # token starts: non-whitespace byte preceded by whitespace / buf start
+    # (whitespace set matches bytes.split(): space, tab, \n, \r, \v, \f)
+    ws = (
+        (arr == 0x20) | (arr == 0x09) | (arr == 0x0A)
+        | (arr == 0x0D) | (arr == 0x0B) | (arr == 0x0C)
     )
-    tokens = np.array(buf.replace(b":", b" ").split())
-    tok_per_line = 1 + 2 * nnz
-    starts = np.concatenate([[0], np.cumsum(tok_per_line)[:-1]])
-    if tokens.size != int(tok_per_line.sum()):
-        raise ValueError(
-            "malformed libsvm input (token count mismatch — bare indices or "
-            "qid fields are not supported by the numpy engine)"
-        )
-    labels = tokens[starts].astype(np.float32)
-    total = int(nnz.sum())
-    row_start_nnz = np.concatenate([[0], np.cumsum(nnz)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(row_start_nnz, nnz)
-    pos = np.repeat(starts, nnz) + 1 + 2 * within
-    indices = tokens[pos].astype(np.uint64)
-    values = tokens[pos + 1].astype(np.float32)
+    starts = np.flatnonzero(~ws & np.concatenate([[True], ws[:-1]]))
+    nl = np.flatnonzero(arr == 0x0A)
+    line_of = np.searchsorted(nl, starts, side="right")
+    tokens = np.array(buf.split())
+    assert tokens.size == starts.size
+    is_label = np.concatenate([[True], line_of[1:] != line_of[:-1]])
+    if int(is_label.sum()) != len(lines):
+        raise ValueError("malformed libsvm input (line without tokens)")
+    try:
+        labels = tokens[is_label].astype(np.float32)
+        feat = tokens[~is_label]
+        # 'i:v' -> (i, ':', v); bare 'i' -> (i, '', '') => value 1.0
+        part = np.char.partition(feat, b":")
+        indices = part[:, 0].astype(np.uint64)
+        values = np.where(part[:, 1] == b":", part[:, 2], b"1").astype(np.float32)
+    except ValueError as e:
+        raise ValueError(f"malformed libsvm input: {e}") from None
+    nnz = np.bincount(line_of[~is_label], minlength=len(lines)).astype(np.int64)
     indptr = np.concatenate([[0], np.cumsum(nnz)]).astype(np.int64)
     return RowBlock(labels, indptr, indices, values)
 

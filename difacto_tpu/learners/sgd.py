@@ -243,12 +243,50 @@ class SGDLearner:
         prog.nnz_V = float(st["nnz_V"])
         return prog
 
+    @staticmethod
+    def _local_scores(py) -> np.ndarray:
+        """This process's rows of a (possibly cross-process sharded) score
+        vector, in local batch-row order."""
+        if jax.process_count() == 1:
+            return np.asarray(py)
+        shards = sorted(
+            py.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    @staticmethod
+    def _allgather_pairs(y: np.ndarray, p: np.ndarray):
+        """Gather (label, score) pairs from every process (per-process
+        lengths may differ: pad to the max, mark pads with label -1)."""
+        if jax.process_count() == 1:
+            return y, p
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.array(len(y), np.int64))
+        )
+        m = int(counts.max())
+        ypad = np.full(m, -1.0, np.float32)
+        ppad = np.zeros(m, np.float32)
+        ypad[: len(y)] = y
+        ppad[: len(p)] = p
+        yg = np.asarray(multihost_utils.process_allgather(ypad)).reshape(-1)
+        pg = np.asarray(multihost_utils.process_allgather(ppad)).reshape(-1)
+        keep = yg >= 0
+        return yg[keep], pg[keep]
+
     def eval_pass(self, uri: str) -> Progress:
         prog = Progress()
         acc = None
         pys: list[np.ndarray] = []
         ys: list[np.ndarray] = []
         collected = 0
+        truncated = False
+        # per-process share of the host-collection cap; beyond it the
+        # exact AUC is computed on the collected PREFIX (with a log note)
+        # and the streaming binned AUC (additive, psum-replicated) remains
+        # the unbounded estimate
+        local_cap = max(_EXACT_AUC_CAP // jax.process_count(), 1)
         for batch in self._iter(uri, shuffle=False):
             if self._sorted:
                 metrics, py = self.store.eval_step_sorted(self.state, batch)
@@ -260,18 +298,29 @@ class SGDLearner:
                 )
                 metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
-            # multi-host: py is sharded across processes (not addressable
-            # here); the streaming binned AUC in `metrics` is additive and
-            # psum-replicated, so exact-AUC collection is single-host only
-            if jax.process_count() == 1 and collected < _EXACT_AUC_CAP:
+            if collected >= local_cap:
+                truncated = True
+            else:
                 keep = batch.mask > 0
-                pys.append(np.asarray(py)[keep])
+                pys.append(self._local_scores(py)[keep])
                 ys.append(batch.labels[keep])
                 collected += int(keep.sum())
         if acc is not None:
             self._fold(prog, acc)
-        if pys and collected <= _EXACT_AUC_CAP:
-            prog.exact_auc = exact_auc(np.concatenate(ys), np.concatenate(pys))
+        if jax.process_count() > 1 or pys:
+            y = np.concatenate(ys) if ys else np.zeros(0, np.float32)
+            p = np.concatenate(pys) if pys else np.zeros(0, np.float32)
+            y, p = self._allgather_pairs(y, p)
+            if len(y):
+                prog.exact_auc = exact_auc(y, p)
+                prog.exact_auc_truncated = truncated
+                if truncated:
+                    log.info(
+                        "exact AUC computed on the first %d collected "
+                        "examples (cap %d); the streaming binned `auc` "
+                        "column covers the full pass",
+                        len(y), _EXACT_AUC_CAP,
+                    )
         return prog
 
     @staticmethod

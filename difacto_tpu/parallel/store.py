@@ -130,6 +130,9 @@ class LocalStore:
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss
         )
+        # distinct ids dropped by an undersized unique_size (counted, not
+        # silent — see ops/localize.py)
+        metrics = metrics._replace(dropped_ids=metrics.dropped_ids + loc.overflow)
         return loc, grads_u, py, metrics
 
     def _step(self, state, ids, vals, labels, mask):
@@ -535,7 +538,7 @@ class ShardedStore:
             rows_u, loc, vals, labels, mask, loss=self.loss
         )
         state = self._push(state, loc, grads_u, ctx)
-        return state, self._psum_metrics(metrics, dropped)
+        return state, self._psum_metrics(metrics, dropped + loc.overflow)
 
     def _eval(self, state, ids, vals, labels, mask):
         loc = localize(ids, self.num_rows, self.unique_size)
@@ -543,7 +546,7 @@ class ShardedStore:
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss
         )
-        return self._psum_metrics(metrics, dropped), py
+        return self._psum_metrics(metrics, dropped + loc.overflow), py
 
     # -- host-localized (prepped) path: the Localizer ran on worker CPUs
     # in the reference too (src/data/localizer.h); each device receives

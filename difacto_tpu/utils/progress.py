@@ -34,6 +34,7 @@ class Progress:
     nnz_w: float = 0.0            # latest snapshot (not additive)
     nnz_V: float = 0.0
     exact_auc: float | None = None  # host sort-based AUC when collected
+    exact_auc_truncated: bool = False  # exact_auc covers only a capped prefix
 
     def merge(self, other: "Progress") -> "Progress":
         self.num_examples += other.num_examples

@@ -38,6 +38,26 @@ def test_parse_empty():
     assert parse_libsvm_numpy(b"\n\n").num_rows == 0
 
 
+def test_parse_bare_index_means_one():
+    """dmlc semantics: a bare 'i' token is value 1.0 (round-1 parity gap —
+    the numpy engine used to reject what the C++ engine accepted)."""
+    blk = parse_libsvm_numpy(b"1 5 9:2.5 11\n0 3\n")
+    np.testing.assert_array_equal(blk.indptr, [0, 3, 4])
+    np.testing.assert_array_equal(blk.indices, [5, 9, 11, 3])
+    np.testing.assert_allclose(blk.values, [1.0, 2.5, 1.0, 1.0])
+
+
+def test_parse_label_only_rows_and_malformed():
+    import pytest
+
+    blk = parse_libsvm_numpy(b"1\n0 2:3\n")
+    np.testing.assert_array_equal(blk.indptr, [0, 0, 1])
+    with pytest.raises(ValueError):
+        parse_libsvm_numpy(b"1 abc:2\n")
+    with pytest.raises(ValueError):
+        parse_libsvm_numpy(b"1 3:\n")
+
+
 def test_chunk_parts_disjoint_and_complete(tmp_path):
     """Byte-range parts must cover every line exactly once (dmlc InputSplit)."""
     path = tmp_path / "d.svm"

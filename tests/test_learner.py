@@ -71,6 +71,26 @@ def test_checkpoint_resume_bitexact(data, tmp_path):
     np.testing.assert_array_equal(y_b, y_c)
 
 
+def test_exact_auc_cap_reports_prefix(data, monkeypatch):
+    """When validation exceeds the host-collection cap, exact AUC is
+    computed on the capped prefix and flagged truncated — never discarded
+    (round-1 bug: the final guard threw everything away)."""
+    import difacto_tpu.learners.sgd as sgd_mod
+
+    monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 600)  # < 2000 val rows
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    learner.train_epoch(0)
+    prog = learner.eval_pass(learner.cfg.data.data_val)
+    assert prog.exact_auc is not None
+    assert prog.exact_auc_truncated
+    # prefix AUC is a real estimate: compare against the full-pass exact
+    # AUC from an uncapped run of the same state
+    monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 4 << 20)
+    full = learner.eval_pass(learner.cfg.data.data_val)
+    assert not full.exact_auc_truncated
+    assert abs(prog.exact_auc - full.exact_auc) < 0.08
+
+
 def test_tail_feature_filter_runs(data):
     cfg = _cfg(data, tail_feature_filter=2, max_num_epochs=1)
     prog = SGDLearner(cfg).run()

@@ -59,6 +59,31 @@ def test_matches_numpy_engine(native):
     np.testing.assert_allclose(a.values, b.values, rtol=1e-6)
 
 
+def test_matches_numpy_engine_with_bare_indices(native):
+    """Property test: random corpora mixing 'i:v' and bare 'i' tokens
+    (dmlc value-1.0 form) must parse identically through both engines."""
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        lines = []
+        for _ in range(rng.integers(1, 200)):
+            label = rng.choice([b"0", b"1", b"-1", b"+1", b"0.5"])
+            toks = [label]
+            for _ in range(rng.integers(0, 12)):
+                idx = rng.integers(0, 1 << 63)
+                if rng.random() < 0.4:
+                    toks.append(b"%d" % idx)
+                else:
+                    toks.append(b"%d:%.6g" % (idx, rng.normal()))
+            lines.append(b" ".join(toks))
+        data = b"\n".join(lines) + (b"\n" if rng.random() < 0.7 else b"")
+        a = parse_libsvm_numpy(data)
+        b = native.parse_libsvm(data)
+        np.testing.assert_array_equal(a.labels, b.labels, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.values, b.values, rtol=1e-6)
+
+
 def test_multithreaded_consistency(native):
     text = b"".join(b"1 %d:1 %d:2\n" % (i, i * 7 + 1) for i in range(5000))
     a = native.parse_libsvm(text, nthreads=1)
