@@ -76,8 +76,9 @@ class SGDLearner:
         self._epoch = 0
         self._resume_step = 0  # batches already consumed in self._epoch
         if cfg.learner.model_in:
-            host_state, meta = checkpoint.load(cfg.learner.model_in)
-            self.state = self.store.place_state(host_state)
+            self.state, meta = checkpoint.load_for_store(
+                cfg.learner.model_in, self.store
+            )
             self._epoch = int(meta.get("epoch", 0))
             self._resume_step = int(meta.get("step", 0))
             log.info(
@@ -170,6 +171,24 @@ class SGDLearner:
             )
         else:
             out = ThreadedIter(map(fn, src) if fn is not None else src, depth=4)
+        if nproc > 1:
+            # SPMD lockstep: every step is a global collective, so all
+            # processes must execute the same number of steps per pass.
+            # Input parts can yield unequal batch counts (byte-range
+            # splits are approximate) — exhausted processes pad with
+            # empty (fully masked) batches until everyone is done.
+            def make_empty():
+                b = Batch(
+                    np.full(
+                        (d.batch_size // nproc, d.max_nnz_per_row), -1, np.int32
+                    ),
+                    np.zeros((d.batch_size // nproc, d.max_nnz_per_row), np.float32),
+                    np.zeros(d.batch_size // nproc, np.float32),
+                    np.zeros(d.batch_size // nproc, np.float32),
+                )
+                return fn(b) if fn is not None else b
+
+            out = self._lockstep(out, make_empty)
         if cache_key is not None:
             # fill the cache lazily so epoch 0 still streams (prep
             # overlapped with device steps); complete at exhaustion
@@ -182,6 +201,31 @@ class SGDLearner:
 
             return caching()
         return out
+
+    @staticmethod
+    def _lockstep(it, make_empty):
+        """Yield items in lockstep across processes: each iteration, every
+        process reports whether it still has data (host allgather); the
+        pass ends only when ALL are exhausted, and early-exhausted
+        processes yield empty batches so the global collectives line up.
+        (The reference tolerated stragglers via async per-part jobs; a
+        synchronous SPMD program needs equal step counts instead.)"""
+        from jax.experimental import multihost_utils
+
+        it = iter(it)
+        while True:
+            try:
+                item = next(it)
+                have = 1
+            except StopIteration:
+                item = None
+                have = 0
+            flags = np.asarray(
+                multihost_utils.process_allgather(np.array(have, np.int32))
+            )
+            if int(flags.sum()) == 0:
+                return
+            yield item if item is not None else make_empty()
 
     # -- passes (reference: SGDLearner::RunEpoch / IterateData) -------------
 

@@ -3,14 +3,26 @@
 Counterpart of the reference's ``Updater::Save/Load(dmlc::Stream)``
 (``src/sgd/sgd_updater.h`` dumps (feaid, cnt, w, z, sqrt_g, V[]) records,
 driven by ``model_out``/``model_in``). Here the model is dense static
-tables, so a checkpoint is an .npz of the state arrays plus a JSON
-metadata sidecar (epoch/step cursor for resume — the reference restarts
-whole epochs; we can resume mid-stream). Sharded states are gathered to
-host on save and re-placed according to the store's sharding on load.
+tables, so a checkpoint is .npz state arrays plus a JSON metadata sidecar
+(epoch/step cursor for resume — the reference restarts whole epochs; we
+can resume mid-stream).
+
+Two layouts, chosen automatically by process count:
+
+* single process: one ``prefix.npz`` with full arrays (all shards are
+  addressable, so a plain gather works even for an 8-device mesh);
+* multi process: each process writes ``prefix.proc{p}.npz`` holding ONLY
+  its addressable shards (keys encode each shard's global index range),
+  exactly like the reference's per-server save — no host ever
+  materializes the full table. Process 0 writes the meta sidecar. Load
+  re-places shards onto the same topology (each process needs only the
+  ranges its devices own; a shared filesystem also allows topology-
+  agnostic reads of all proc files).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 
@@ -20,35 +32,100 @@ import numpy as np
 from ..updaters.updater import FMState
 
 FORMAT_VERSION = 1
+_LEAVES = ("w", "z", "n", "V", "nV", "cnt")
+
+
+def _index_key(name: str, index, shape) -> str:
+    """'V@0:16,1024:2048' — the shard's global slice per dim."""
+    parts = [
+        f"{sl.start or 0}:{sl.stop if sl.stop is not None else dim}"
+        for sl, dim in zip(index, shape)
+    ]
+    return name + "@" + ",".join(parts)
 
 
 def save(path_prefix: str, state: FMState, meta: dict | None = None) -> str:
-    host = jax.device_get(state)
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
-    npz = path_prefix + ".npz"
-    np.savez(
-        npz,
-        w=np.asarray(host.w),
-        z=np.asarray(host.z),
-        n=np.asarray(host.n),
-        V=np.asarray(host.V),
-        nV=np.asarray(host.nV),
-        cnt=np.asarray(host.cnt),
-    )
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}
-    with open(path_prefix + ".meta.json", "w") as f:
-        json.dump(full_meta, f, indent=1)
+    if jax.process_count() == 1:
+        host = jax.device_get(state)
+        npz = path_prefix + ".npz"
+        np.savez(npz, **{k: np.asarray(getattr(host, k)) for k in _LEAVES})
+        with open(path_prefix + ".meta.json", "w") as f:
+            json.dump(full_meta, f, indent=1)
+        return npz
+    # multi-process: save addressable shards only (per-server semantics)
+    pid = jax.process_index()
+    payload: dict[str, np.ndarray] = {}
+    for name in _LEAVES:
+        arr = getattr(state, name)
+        for s in arr.addressable_shards:
+            payload[_index_key(name, s.index, arr.shape)] = np.asarray(s.data)
+    npz = f"{path_prefix}.proc{pid}.npz"
+    np.savez(npz, **payload)
+    if pid == 0:
+        full_meta["sharded"] = True
+        full_meta["process_count"] = jax.process_count()
+        with open(path_prefix + ".meta.json", "w") as f:
+            json.dump(full_meta, f, indent=1)
     return npz
 
 
-def load(path_prefix: str) -> tuple[FMState, dict]:
-    with np.load(path_prefix + ".npz") as zf:
-        state = FMState(
-            w=zf["w"], z=zf["z"], n=zf["n"], V=zf["V"], nV=zf["nV"], cnt=zf["cnt"]
-        )
+def _read_meta(path_prefix: str) -> dict:
     meta_path = path_prefix + ".meta.json"
-    meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            meta = json.load(f)
-    return state, meta
+            return json.load(f)
+    return {}
+
+
+def load(path_prefix: str) -> tuple[FMState, dict]:
+    """Single-host layout load (full arrays on host). For sharded
+    checkpoints use :func:`load_for_store`."""
+    with np.load(path_prefix + ".npz") as zf:
+        state = FMState(**{k: zf[k] for k in _LEAVES})
+    return state, _read_meta(path_prefix)
+
+
+def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
+    """Load a checkpoint and place it according to ``store``'s sharding.
+
+    Handles both layouts: the single-file .npz (placed via
+    ``store.place_state``) and the per-process sharded layout (each
+    addressable device gets its shard from whichever proc file recorded
+    that exact global index range — a same-topology restart finds all of
+    its ranges in this process's own file)."""
+    meta = _read_meta(path_prefix)
+    if not meta.get("sharded"):
+        host_state, meta = load(path_prefix)
+        return store.place_state(host_state), meta
+
+    files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
+    available: dict[str, np.ndarray] = {}
+    for fp in files:
+        with np.load(fp) as zf:
+            for k in zf.files:
+                available[k] = zf[k]
+
+    template = store.init_state(0)  # placement/shape template
+    placed = {}
+    for name in _LEAVES:
+        ref = getattr(template, name)
+        sharding = ref.sharding
+        dev_idx = sharding.addressable_devices_indices_map(ref.shape)
+        singles = []
+        for dev, index in dev_idx.items():
+            key = _index_key(name, index, ref.shape)
+            if key not in available:
+                raise ValueError(
+                    f"checkpoint {path_prefix} lacks shard {key}: restart "
+                    "topology must match the saving topology (or share a "
+                    "filesystem with all proc files)"
+                )
+            singles.append(jax.device_put(available[key], dev))
+        placed[name] = jax.make_array_from_single_device_arrays(
+            ref.shape, sharding, singles
+        )
+    return FMState(**placed), meta

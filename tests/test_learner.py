@@ -71,6 +71,45 @@ def test_checkpoint_resume_bitexact(data, tmp_path):
     np.testing.assert_array_equal(y_b, y_c)
 
 
+def test_sharded_checkpoint_roundtrip(data, tmp_path, monkeypatch):
+    """Per-process shard-file layout must round-trip exactly on the
+    8-device mesh (reference: Updater::Save/Load — each server saves its
+    own keys). Simulated multi-process: force the sharded save layout,
+    then restore via load_for_store's shard re-placement."""
+    import jax
+    import numpy as np
+
+    from difacto_tpu.utils import checkpoint
+
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    from difacto_tpu.parallel.store import ShardedStore
+
+    assert isinstance(learner.store, ShardedStore)
+    learner.train_epoch(0)
+    ref = jax.device_get(learner.state)
+
+    prefix = str(tmp_path / "shardckpt")
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, learner.state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+    assert (tmp_path / "shardckpt.proc0.npz").exists()
+
+    restored, meta = checkpoint.load_for_store(prefix, learner.store)
+    assert meta["sharded"] and meta["epoch"] == 1
+    got = jax.device_get(restored)
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=name,
+        )
+    # restored state scores identically
+    learner.state = restored
+    prog = learner.eval_pass(learner.cfg.data.data_val)
+    assert prog.exact_auc is not None
+
+
 def test_exact_auc_cap_reports_prefix(data, monkeypatch):
     """When validation exceeds the host-collection cap, exact AUC is
     computed on the capped prefix and flagged truncated — never discarded
