@@ -132,6 +132,9 @@ class LearnerParam(ParamBase):
     save_interval_epochs: int = 1
     save_interval_steps: int = 0   # also checkpoint every N steps (0 = off);
                                    # resume skips the consumed batches
+    bcd_num_blocks: int = 256      # feature blocks (reference: feagrp bits)
+    bcd_tile_dir: str = ""         # disk tile cache location (reference
+                                   # TileStore); "" = a fresh temp dir
 
     def validate(self) -> None:
         assert self.learner in ("sgd", "bcd")

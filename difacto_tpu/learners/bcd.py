@@ -5,39 +5,44 @@ Counterpart of the reference's ``src/bcd/bcd_learner.h`` :: BCDLearner +
 ``src/loss/logit_loss_delta.h`` (cached-prediction delta loss) +
 ``src/data/tile_store.h``/``tile_builder.h`` (column-block data layout).
 
-Redesign for one SPMD program (SURVEY.md §3.4): the reference runs
-scheduler-issued jobs per feature block with workers streaming column
-tiles from a disk cache and servers solving the coordinate update. Here:
+Redesign for one SPMD program (SURVEY.md §3.4):
 
-  * PrepareData: the dataset is loaded once and transposed into
-    per-feature-block COO tiles (the TileStore equivalent) — feature
-    blocks are contiguous ranges of the hashed id space, padded to a
-    common static nnz so one jitted block-step serves every block;
-  * per epoch, blocks are visited in random order; the block step
-    computes, from the cached margins py, the block gradient
-    g_j = sum_i x_ij * d_i and curvature h_j = sum_i x_ij^2 * p_i(1-p_i),
-    applies the closed-form l1/l2 proximal Newton coordinate update
+  * PrepareData: the dataset is streamed twice into a DISK tile cache
+    (``data/tile_store.py`` — per-feature-block COO tiles, split by row
+    shard), so datasets larger than RAM train; tiles are prefetched from
+    disk one block ahead of the device;
+  * per epoch, blocks are visited in random order; the block step runs
+    under ``shard_map`` over a 1D device mesh with examples row-sharded
+    (the reference's "parallel over workers within a block"): each
+    device scatter-adds its rows' block gradient
+    g_j = sum_i x_ij * d_i and curvature h_j = sum_i x_ij^2 * p_i(1-p_i)
+    from its cached margins py, psums g/h, and every device applies the
+    identical closed-form l1/l2 proximal Newton coordinate update
     u = w_j h_j - g_j;  w_j' = sign(u) max(|u|-l1, 0) / (h_j + l2)
-    and folds X_block @ (w' - w) back into py — the logit_loss_delta
-    trick, which makes an epoch O(nnz) regardless of block count;
-  * sequential blocks are the reference's implicit barrier; row-sharded
-    data parallelism within a block (psum of g/h) is the natural mesh
-    extension and is wired through ``shard_map`` when >1 device.
+    then folds X_block_shard @ (w' - w) into its py shard — the
+    logit_loss_delta trick, making an epoch O(nnz) in any block count;
+  * sequential blocks are the reference's implicit barrier;
+  * per-epoch validation (data_val) scores the current w streaming and
+    reports logloss + exact AUC, like the reference's validation jobs.
 
-The linear model (V_dim must be 0) matches the reference: BCD exists for
-exact-sparsity linear CTR models, FM training uses the SGD learner.
+BCD is single-host (multi-device): the tile build is a host-local
+stream. The linear model (V_dim must be 0) matches the reference: BCD
+exists for exact-sparsity linear CTR models, FM training uses SGD.
 """
 
 from __future__ import annotations
 
 import logging
+import tempfile
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..data.batch_iter import BatchIter
+from ..data.tile_store import TileStore, build_tiles
 from ..ops.metrics import exact_auc
 from ..utils import checkpoint
 from ..utils.progress import Progress
@@ -45,138 +50,199 @@ from ..utils.progress import Progress
 log = logging.getLogger("difacto_tpu")
 
 
-def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
-    out = np.full(size, fill, x.dtype)
-    out[: len(x)] = x
-    return out
-
-
 class BCDLearner:
-    def __init__(self, cfg: Config, num_blocks: int = 256):
+    def __init__(self, cfg: Config, num_blocks: int | None = None):
         assert cfg.model.V_dim == 0, "BCD trains the linear model (V_dim=0)"
+        assert jax.process_count() == 1, "BCD is single-host (multi-device)"
         self.cfg = cfg
         self.num_rows = 1 << cfg.data.num_bits
-        self.num_blocks = min(num_blocks, self.num_rows)
+        self.num_blocks = min(
+            num_blocks or cfg.learner.bcd_num_blocks, self.num_rows
+        )
+        n_dev = cfg.shard.num_shards or len(jax.devices())
+        self.mesh = jax.make_mesh((n_dev,), ("shard",))
+        self.S = n_dev
         self.epoch_callbacks = []
         self._prepare_data()
         self._build_steps()
 
     # -- PrepareData (reference: kPrepareData + TileBuilder) ----------------
 
-    def _prepare_data(self) -> None:
+    def _batch_iter(self, uri: str):
         cfg = self.cfg
-        rows_y = []
-        coo_r = []
-        coo_c = []
-        coo_v = []
-        n = 0
-        it = BatchIter(
-            cfg.data.data_in,
+        return BatchIter(
+            uri,
             batch_size=cfg.data.batch_size,
             max_nnz=cfg.data.max_nnz_per_row,
             num_bits=cfg.data.num_bits,
             data_format=cfg.data.data_format,
         )
-        for batch in it:
-            b = int(batch.mask.sum())
-            ids = batch.ids[:b]
-            real = ids >= 0
-            r, l = np.nonzero(real)
-            rows_y.append(batch.labels[:b])
-            coo_r.append((r + n).astype(np.int64))
-            coo_c.append(ids[r, l].astype(np.int64))
-            coo_v.append(batch.vals[:b][r, l])
-            n += b
-        self.labels = np.concatenate(rows_y)
-        self.n = n
-        col = np.concatenate(coo_c)
-        row = np.concatenate(coo_r)
-        val = np.concatenate(coo_v)
-        # column-block tiles: block = contiguous hashed-id range
-        self.rows_per_block = self.num_rows // self.num_blocks
-        blk = col // self.rows_per_block
-        order = np.argsort(blk, kind="stable")
-        col, row, val, blk = col[order], row[order], val[order], blk[order]
-        starts = np.searchsorted(blk, np.arange(self.num_blocks + 1))
-        self.tile_nnz = int(np.diff(starts).max()) if len(col) else 1
-        tr = np.full((self.num_blocks, self.tile_nnz), 0, np.int64)
-        tc = np.full((self.num_blocks, self.tile_nnz), 0, np.int64)
-        tv = np.zeros((self.num_blocks, self.tile_nnz), np.float32)
-        for b in range(self.num_blocks):
-            s, e = starts[b], starts[b + 1]
-            tr[b, : e - s] = row[s:e]
-            tc[b, : e - s] = col[s:e] - b * self.rows_per_block
-            tv[b, : e - s] = val[s:e]  # padding has val 0 => contributes 0
-        self.tiles = (tr, tc, tv)
-        log.info(
-            "BCD prepared: %d rows, %d nnz, %d blocks (tile nnz %d)",
-            n, len(col), self.num_blocks, self.tile_nnz,
+
+    def _prepare_data(self) -> None:
+        cfg = self.cfg
+        tile_dir = cfg.learner.bcd_tile_dir
+        if not tile_dir:
+            self._tmp = tempfile.TemporaryDirectory(prefix="difacto_tiles_")
+            tile_dir = self._tmp.name
+        self.tiles: TileStore = build_tiles(
+            lambda: self._batch_iter(cfg.data.data_in),
+            tile_dir,
+            num_rows=self.num_rows,
+            num_blocks=self.num_blocks,
+            num_shards=self.S,
         )
+        self.rows_per_block = self.tiles.rows_per_block
+        self.n = self.tiles.n
+        self.labels = self.tiles.labels
 
     # -- block step (reference: kIterateData + BCDUpdater) ------------------
 
     def _build_steps(self) -> None:
         p = self.cfg.model
         R = self.rows_per_block
-        yy = jnp.asarray(np.where(self.labels > 0, 1.0, -1.0))
+        mesh = self.mesh
 
-        def block_step(py, w_blk, tile_r, tile_c, tile_v):
-            # d = dl/dpy, h = d2l/dpy2 for l = log(1+exp(-y py))
+        def block_step(py, yy, mr, w_blk, tr, tc, tv):
+            tr, tc, tv = tr[0], tc[0], tv[0]
+            # d = dl/dpy, h = d2l/dpy2 for l = log(1+exp(-y py));
+            # pad slots have value 0 and pad rows are never referenced
             sig = jax.nn.sigmoid(py)
-            d = sig - (yy > 0)          # = -y*sigma(-y py)
-            h = sig * (1.0 - sig)
-            x_d = tile_v * d[tile_r]
-            x2_h = tile_v * tile_v * h[tile_r]
-            g = jnp.zeros(R, jnp.float32).at[tile_c].add(x_d)
-            hh = jnp.zeros(R, jnp.float32).at[tile_c].add(x2_h)
+            d = (sig - (yy > 0)) * mr
+            h = sig * (1.0 - sig) * mr
+            g = jax.lax.psum(
+                jnp.zeros(R, jnp.float32).at[tc].add(tv * d[tr]), "shard"
+            )
+            hh = jax.lax.psum(
+                jnp.zeros(R, jnp.float32).at[tc].add(tv * tv * h[tr]), "shard"
+            )
             u = w_blk * hh - g
             w_new = jnp.sign(u) * jnp.maximum(jnp.abs(u) - p.l1, 0.0) / (hh + p.l2)
             w_new = jnp.where(hh > 0, w_new, w_blk)  # untouched coords keep w
             dw = w_new - w_blk
-            py = py + jnp.zeros_like(py).at[tile_r].add(tile_v * dw[tile_c])
+            py = py + jnp.zeros_like(py).at[tr].add(tv * dw[tc])
             return py, w_new
 
-        self._block_step = jax.jit(block_step, donate_argnums=(0,))
+        self._block_step = jax.jit(
+            jax.shard_map(
+                block_step,
+                mesh=mesh,
+                in_specs=(
+                    P("shard"), P("shard"), P("shard"), P(),
+                    P("shard", None), P("shard", None), P("shard", None),
+                ),
+                out_specs=(P("shard"), P()),
+            ),
+            donate_argnums=(0,),
+        )
 
-        def metrics(py):
+        def metrics(py, yy, mr):
             from ..models.losses import stable_logloss
 
-            loss = stable_logloss(-yy * py)
-            correct = ((py > 0) == (yy > 0)).astype(jnp.float32)
+            loss = stable_logloss(-yy * py) * mr
+            correct = ((py > 0) == (yy > 0)).astype(jnp.float32) * mr
             return jnp.sum(loss), jnp.sum(correct)
 
         self._metrics = jax.jit(metrics)
 
+        def score(w, ids, vals):
+            idx = jnp.where(ids >= 0, ids, 0)
+            return jnp.sum(vals * w[idx] * (ids >= 0), axis=1)
+
+        self._score = jax.jit(score)
+
+    def _place(self, x, spec):
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    # -- validation (reference: the data_val jobs — pull+predict, no push) --
+
+    def eval_pass(self, w, uri: str) -> Progress:
+        pys, ys = [], []
+        for batch in self._batch_iter(uri):
+            py = np.asarray(self._score(w, batch.ids, batch.vals))
+            keep = batch.mask > 0
+            pys.append(py[keep])
+            ys.append(batch.labels[keep])
+        y = np.concatenate(ys)
+        py = np.concatenate(pys)
+        yy = np.where(y > 0, 1.0, -1.0).astype(np.float32)
+        loss = np.logaddexp(0.0, -yy * py)
+        from ..ops.metrics import NUM_AUC_BINS
+
+        prob = 1.0 / (1.0 + np.exp(-np.clip(py, -30.0, 30.0)))
+        bins = np.clip((prob * NUM_AUC_BINS).astype(np.int64), 0, NUM_AUC_BINS - 1)
+        hist = np.zeros((2, NUM_AUC_BINS), np.float64)
+        np.add.at(hist, ((y > 0).astype(np.int64), bins), 1.0)
+        prog = Progress(
+            num_examples=float(len(y)),
+            logloss_sum=float(loss.sum()),
+            correct_sum=float(((py > 0) == (y > 0)).sum()),
+            label_sum=float(y.sum()),
+            pred_sum=float(prob.sum()),
+            auc_hist=hist,
+        )
+        prog.exact_auc = exact_auc(y, py)
+        return prog
+
     # -- driver (reference: BCDLearner::RunScheduler) -----------------------
+
+    def _tile_stream(self, order):
+        """Prefetch tiles from the disk cache one block ahead (reference:
+        TileStore::Prefetch overlapping fetch with compute)."""
+        from ..utils.prefetch import ThreadedIter
+
+        return ThreadedIter(
+            ((int(b),) + self.tiles.fetch(int(b)) for b in order), depth=2
+        )
 
     def run(self) -> Progress:
         cfg = self.cfg
         rng = np.random.default_rng(cfg.data.seed)
-        w = jnp.zeros(self.num_rows, jnp.float32)
-        py = jnp.zeros(self.n, jnp.float32)
-        tr, tc, tv = self.tiles
-        tr_d = jax.device_put(tr)
-        tc_d = jax.device_put(tc)
-        tv_d = jax.device_put(tv)
+        w = self._place(np.zeros(self.num_rows, np.float32), P())
+        py = self._place(np.zeros(self.tiles.n_pad, np.float32), P("shard"))
+        yy = self._place(
+            self.tiles.to_shard_order(
+                np.where(self.labels > 0, 1.0, -1.0).astype(np.float32), fill=-1.0
+            ),
+            P("shard"),
+        )
+        mr = self._place(
+            self.tiles.to_shard_order(np.ones(self.n, np.float32)), P("shard")
+        )
+        tile_spec = P("shard", None)
         last = Progress()
         for epoch in range(cfg.learner.max_num_epochs):
-            for b in rng.permutation(self.num_blocks):
-                lo = int(b) * self.rows_per_block
+            for b, tr, tc, tv in self._tile_stream(rng.permutation(self.num_blocks)):
+                lo = b * self.rows_per_block
                 w_blk = jax.lax.dynamic_slice(w, (lo,), (self.rows_per_block,))
-                py, w_new = self._block_step(py, w_blk, tr_d[b], tc_d[b], tv_d[b])
+                py, w_new = self._block_step(
+                    py, yy, mr, w_blk,
+                    self._place(tr, tile_spec),
+                    self._place(tc, tile_spec),
+                    self._place(tv, tile_spec),
+                )
                 w = jax.lax.dynamic_update_slice(w, w_new, (lo,))
-            loss_sum, correct = self._metrics(py)
+            loss_sum, correct = self._metrics(py, yy, mr)
             prog = Progress(
                 num_examples=float(self.n),
                 logloss_sum=float(loss_sum),
                 correct_sum=float(correct),
             )
             prog.nnz_w = float(jnp.sum(w != 0))
-            prog.exact_auc = exact_auc(self.labels, np.asarray(py))
+            prog.exact_auc = exact_auc(
+                self.labels, self.tiles.from_shard_order(np.asarray(py))
+            )
             log.info(
-                "bcd epoch %d: logloss %.6f auc %.6f acc %.4f |w|>0 %d",
+                "bcd epoch %d train: logloss %.6f auc %.6f acc %.4f |w|>0 %d",
                 epoch, prog.logloss, prog.exact_auc, prog.accuracy, int(prog.nnz_w),
             )
+            if cfg.data.data_val:
+                va = self.eval_pass(w, cfg.data.data_val)
+                log.info(
+                    "bcd epoch %d valid: %s exact_auc %.6f",
+                    epoch, va.row(), va.exact_auc,
+                )
+                va.nnz_w = prog.nnz_w
+                prog = va
             for cb in self.epoch_callbacks:
                 cb(epoch, prog)
             last = prog
