@@ -122,6 +122,7 @@ class BatchIter:
         seed: int = 0,
         chunk_bytes: int = 64 << 20,
         drop_remainder: bool = False,
+        prefetch_blocks: int = 2,
     ):
         self.files = expand_uri(uri) if isinstance(uri, str) else list(uri)
         self.batch_size = batch_size
@@ -134,6 +135,7 @@ class BatchIter:
         self.seed = seed
         self.chunk_bytes = chunk_bytes
         self.drop_remainder = drop_remainder
+        self.prefetch_blocks = prefetch_blocks
         self._epoch = 0
 
     def __iter__(self) -> Iterator[Batch]:
@@ -143,17 +145,27 @@ class BatchIter:
         if self.shuffle:
             # multi-file datasets also shuffle file order per epoch
             rng.shuffle(files)
-        for path in files:
-            for blk in self._blocks(path):
-                yield from rowblock_to_batches(
-                    blk,
-                    self.batch_size,
-                    self.max_nnz,
-                    self.num_bits,
-                    shuffle=self.shuffle,
-                    rng=rng,
-                    drop_remainder=self.drop_remainder,
-                )
+        blocks: Iterator[RowBlock] = (
+            blk for path in files for blk in self._blocks(path)
+        )
+        if self.prefetch_blocks > 0:
+            # double-buffer shard reads: the next shard loads/parses in a
+            # background thread while this one is padded into batches —
+            # without it the device starves at every shard boundary
+            # (measured round 1: 84.5k ex/s bursty vs 177k smooth)
+            from ..utils.prefetch import ThreadedIter
+
+            blocks = ThreadedIter(blocks, depth=self.prefetch_blocks)
+        for blk in blocks:
+            yield from rowblock_to_batches(
+                blk,
+                self.batch_size,
+                self.max_nnz,
+                self.num_bits,
+                shuffle=self.shuffle,
+                rng=rng,
+                drop_remainder=self.drop_remainder,
+            )
 
     @property
     def part_indices(self) -> list[int]:
