@@ -191,6 +191,33 @@ def test_make_store_auto():
     assert isinstance(make_store(upd, cfg2), LocalStore)
 
 
+def test_zipf_routing_stays_balanced():
+    """Hot-key skew experiment (SURVEY §7 risk, VERDICT round-1 item 9):
+    power-law keys must NOT imbalance the all_to_all. Per-shard dedup
+    collapses a hot key to <= 1 request per source shard and splitmix64
+    hashing spreads unique ids uniformly, so the max per-(src,dst) bucket
+    stays within ~10% of perfect — far inside capacity_factor slack.
+    Measured (B=16384, L=40, 2^22 rows, 8 shards): max/perfect = 1.015 at
+    zipf a=1.05, 1.089 at a=1.5 where ONE key fills 38% of all slots.
+    Hot-row replication (replicate + psum) is therefore rejected: it
+    would add a second code path to save <10% of one collective's
+    payload. This test pins the property the rejection relies on."""
+    from difacto_tpu.base import hash_ids
+
+    S = 8
+    B, L = 2048, 40
+    rng = np.random.default_rng(0)
+    for a in (1.05, 1.3):
+        z = rng.zipf(a, size=(B, L)).astype(np.uint64)
+        ids = hash_ids(z.reshape(-1), 22).reshape(B, L)
+        for s in range(S):
+            rows = ids[s * (B // S) : (s + 1) * (B // S)].reshape(-1)
+            u = np.unique(rows)
+            owner = u // ((1 << 22) // S)
+            counts = np.bincount(owner, minlength=S)
+            assert counts.max() <= max(len(u) / S * 1.25, len(u) / S + 8)
+
+
 def test_capacity_overflow_counted_not_silent():
     """With a pathological capacity, drops must be reported, never silent."""
     cfg = _cfg()
