@@ -16,8 +16,9 @@ tunnel cost and is excluded via warmup.
 
 Resilience contract (round-1 postmortem: the driver's capture timed out
 while a health-probe loop slept): ALL device-touching work runs in a
-child process killed after BENCH_BUDGET_S seconds (default 540), and the
-parent ALWAYS prints exactly one well-formed JSON line and exits 0 —
+child process killed after BENCH_BUDGET_S seconds (default 900 — a fresh
+process's first device fetch alone measures ~130 s over the tunnel), and
+the parent ALWAYS prints exactly one well-formed JSON line and exits 0 —
 a wedged TPU runtime yields {"value": 0, "error": ...} instead of a hang.
 
 Variants (env vars):
@@ -222,7 +223,7 @@ def main():
         print(json.dumps(bench_tpu()), flush=True)
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", 540))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 900))
     # extra attempts are OPT-IN: a killed/OOM'd client can wedge the
     # remote TPU runtime for ~45-75 min, far beyond any driver timeout,
     # so by default we report the failure immediately instead of waiting

@@ -430,6 +430,6 @@ class SGDLearner:
                 )
                 _, py = self.store.eval_step(self.state, *args)
             keep = batch.mask > 0
-            pys.append(np.asarray(py)[keep])
+            pys.append(self._local_scores(py)[keep])
             ys.append(batch.labels[keep])
         return np.concatenate(pys), np.concatenate(ys)
