@@ -25,6 +25,7 @@ Variants (env vars):
   BENCH_KERNEL=pallas|xla   table access path        (default xla)
   BENCH_PREP=host|device    id dedup location        (default host)
   BENCH_STORE=local|sharded store implementation     (default local)
+  BENCH_LAYOUT=auto|packed|planar  state table layout (default auto)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
   BENCH_STEPS, BENCH_SKIP_NUMPY
   BENCH_BUDGET_S            child wall-clock cap     (default 540)
@@ -82,6 +83,7 @@ def _store():
             ("max_nnz_per_row", str(NNZ)),
             ("V_dim", str(K)),
             ("kernel", kernel),
+            ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
         ]
     )
     upd = FMUpdater(cfg.model)

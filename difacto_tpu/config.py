@@ -150,6 +150,10 @@ class ShardParam(ParamBase):
     capacity_factor: float = 2.0   # all_to_all slot slack vs perfect balance
     unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
     kernel: str = "auto"           # pallas | xla | auto (pallas on TPU)
+    layout: str = "auto"           # packed | planar | auto: packed = one
+                                   # [N, 4+2K] row table (fastest under
+                                   # XLA); planar = split w/z/n/cnt +
+                                   # [K, N] V (big tables, pallas)
     block_rows: int = 1024         # table rows per sweep-kernel block
     pipeline: str = "auto"         # simple | sorted | auto: the sorted
                                    # pipeline (chunk-sorted slots, fused

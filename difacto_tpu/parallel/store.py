@@ -31,7 +31,6 @@ and capacity_factor x slack this is vanishingly rare, and never silent.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -42,11 +41,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..learners.step import StepMetrics, worker_grads
 from ..ops.localize import Localized, localize
-from ..updaters.updater import FMState, FMUpdater
+from ..updaters.updater import (
+    FMState, FMUpdater, PackedFMState, pack_state, unpack_state,
+)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _resolve_layout(cfg: Config, pallas: bool) -> str:
+    """packed = one [N, 4+2K] row table (ONE gather + ONE scatter per
+    step, measured much faster under XLA); planar = split arrays with
+    V [K, N] (no 128-lane padding — the layout for huge tables and the
+    Pallas sweep kernels). auto: packed for the XLA path when the packed
+    table's physical size (N x 128 lanes x 4 B) stays comfortable."""
+    lay = cfg.shard.layout
+    if lay == "auto":
+        if pallas or cfg.shard.pipeline == "sorted":
+            return "planar"
+        return "packed" if cfg.data.num_bits <= 24 else "planar"
+    if lay == "packed" and pallas:
+        raise ValueError("layout=packed is incompatible with kernel=pallas "
+                         "(the sweep kernels need the planar [K, N] layout)")
+    return lay
 
 
 def _use_pallas(cfg: Config) -> bool:
@@ -79,6 +97,7 @@ class LocalStore:
         self.unique_size = cfg.shard.unique_size or nnz
         self.pallas = _use_pallas(cfg) or interpret
         self.interpret = interpret
+        self.layout = _resolve_layout(cfg, self.pallas)
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.loss = cfg.learner.loss
         self.train_step = jax.jit(self._step, donate_argnums=0)
@@ -88,11 +107,16 @@ class LocalStore:
         self._jit_sorted_step = jax.jit(self._sorted_step, donate_argnums=0)
         self._jit_sorted_eval = jax.jit(self._sorted_eval)
 
-    def init_state(self, seed: int = 0) -> FMState:
+    def init_state(self, seed: int = 0):
+        if self.layout == "packed":
+            return self.updater.init_state_packed(self.num_rows, seed)
         return self.updater.init_state(self.num_rows, seed)
 
-    def place_state(self, host_state: FMState) -> FMState:
-        return jax.device_put(host_state)
+    def place_state(self, host_state: FMState):
+        placed = jax.device_put(host_state)
+        if self.layout == "packed":
+            return jax.jit(pack_state)(placed)
+        return placed
 
     def shard_batch(self, ids, vals, labels, mask):
         return ids, vals, labels, mask
@@ -106,9 +130,7 @@ class LocalStore:
         for tail filtering before training)."""
         loc = localize(ids, self.num_rows, self.unique_size)
         idx = jnp.where(loc.valid, loc.uids, 0)
-        return dataclasses.replace(
-            state, cnt=state.cnt.at[idx].add(loc.counts * loc.valid)
-        )
+        return self.updater.add_counts(state, idx, loc.counts * loc.valid)
 
     def _use_sweep_pull(self, u: int) -> bool:
         # the pull sweep's non-blocked output is staged in VMEM by Mosaic;
@@ -313,6 +335,7 @@ class ShardedStore:
         self.rows_per_shard = self.num_rows // self.S
         self.pallas = _use_pallas(cfg) or interpret
         self.interpret = interpret
+        self.layout = _resolve_layout(cfg, self.pallas)
         self.block_rows = min(cfg.shard.block_rows, self.rows_per_shard)
         assert cfg.data.batch_size % self.S == 0, (
             f"num_shards {self.S} must divide batch_size {cfg.data.batch_size}"
@@ -324,10 +347,16 @@ class ShardedStore:
         # (the prepped path re-derives it from the actual unique bucket)
         self.capacity = self._capacity_for(self.unique_size)
 
-        state_spec = FMState(
+        # planar (FMState) specs are always kept: checkpoints and
+        # place_state speak FMState regardless of the active layout
+        self._fmstate_spec = FMState(
             w=P("shard"), z=P("shard"), n=P("shard"),
             V=P(None, "shard"), nV=P(None, "shard"), cnt=P("shard"),
         )
+        if self.layout == "packed":
+            state_spec = PackedFMState(tbl=P("shard", None))
+        else:
+            state_spec = self._fmstate_spec
         batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
         metrics_spec = StepMetrics(P(), P(), P(), P(), P(), P(), P())
         self._state_spec = state_spec
@@ -399,13 +428,14 @@ class ShardedStore:
 
     # -- placement ----------------------------------------------------------
 
-    def init_state(self, seed: int = 0) -> FMState:
+    def init_state(self, seed: int = 0):
         shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), self._state_spec
         )
         @functools.partial(jax.jit, out_shardings=shardings)
         def _init():
-            return self.updater.init_state(self.num_rows, seed)
+            s = self.updater.init_state(self.num_rows, seed)
+            return pack_state(s) if self.layout == "packed" else s
 
         return _init()
 
@@ -596,15 +626,30 @@ class ShardedStore:
         my_lo = jax.lax.axis_index("shard") * self.rows_per_shard
         rvalid = recv_ids >= 0
         lidx = jnp.where(rvalid, recv_ids - my_lo, 0)
-        return dataclasses.replace(
-            state, cnt=state.cnt.at[lidx].add(recv_cnt * rvalid)
-        )
+        return self.updater.add_counts(state, lidx, recv_cnt * rvalid)
 
-    def place_state(self, host_state: FMState) -> FMState:
-        shardings = jax.tree.map(
-            lambda s: NamedSharding(self.mesh, s), self._state_spec
+    def fmstate_placement(self):
+        """(ShapeDtypeStruct tree, NamedSharding tree) of the FMState
+        (planar) form — the checkpoint interchange layout."""
+        shapes = jax.eval_shape(
+            lambda: self.updater.init_state(self.num_rows, 0)
         )
-        return jax.device_put(host_state, shardings)
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), self._fmstate_spec
+        )
+        return shapes, shardings
+
+    def place_state(self, host_state: FMState):
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), self._fmstate_spec
+        )
+        placed = jax.device_put(host_state, shardings)
+        if self.layout == "packed":
+            packed_sh = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), self._state_spec
+            )
+            return jax.jit(pack_state, out_shardings=packed_sh)(placed)
+        return placed
 
     def stats(self, state):
         return jax.jit(self.updater.stats)(state)

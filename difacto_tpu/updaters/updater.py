@@ -30,6 +30,7 @@ AdaGrad (reference SGDUpdater::UpdateV):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -66,9 +67,53 @@ class FMState:
         return self.V.shape[0]
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class PackedFMState:
+    """Row-packed state: ONE table [N, 4+2K] with columns w|z|n|cnt|V|nV.
+
+    Why it exists (measured on v5e, BENCH.md round 2): XLA's row-
+    structured gathers/scatters move [U, D] blocks at ~5-20 ns/row, while
+    the planar layout pays 2 x ~15 ms lane-indexed [K, N] scatters plus
+    8 x ~2.5 ms scalar 1D ops per step. Packing turns the entire state
+    update into ONE row gather + ONE row scatter-add. Cost: XLA pads the
+    minor dim to the 128-lane tile, so the table occupies [N, 128]
+    physically — 2 GB at 2^22, fine to ~2^24; planar remains the layout
+    for huge tables and for the Pallas sweep kernels.
+    """
+
+    tbl: jnp.ndarray   # f32 [N, 4+2K]
+
+    @property
+    def num_rows(self) -> int:
+        return self.tbl.shape[0]
+
+    @property
+    def k(self) -> int:
+        return (self.tbl.shape[1] - 4) // 2
+
+
+def pack_state(state: FMState) -> PackedFMState:
+    """FMState (planar) -> PackedFMState. jit-traceable."""
+    cols = [state.w[:, None], state.z[:, None], state.n[:, None],
+            state.cnt[:, None], state.V.T, state.nV.T]
+    return PackedFMState(tbl=jnp.concatenate(cols, axis=1))
+
+
+def unpack_state(packed: PackedFMState) -> FMState:
+    """PackedFMState -> FMState (planar). jit-traceable."""
+    t = packed.tbl
+    k = packed.k
+    return FMState(
+        w=t[:, 0], z=t[:, 1], n=t[:, 2], cnt=t[:, 3],
+        V=t[:, 4 : 4 + k].T, nV=t[:, 4 + k :].T,
+    )
+
+
 class FMUpdater:
     """Functional updater: all methods are pure (state in, state out) and
-    jit-traceable; ``param`` values are compile-time constants."""
+    jit-traceable; ``param`` values are compile-time constants. Every
+    method accepts either layout (FMState planar / PackedFMState)."""
 
     def __init__(self, param: FMParam):
         self.param = param
@@ -93,17 +138,34 @@ class FMUpdater:
             w=zeros(), z=zeros(), n=zeros(), V=V, nV=jnp.zeros_like(V), cnt=zeros()
         )
 
+    def init_state_packed(self, num_rows: int, seed: int = 0) -> PackedFMState:
+        return pack_state(self.init_state(num_rows, seed))
+
     # -- Get (reference: SGDUpdater::Get) -----------------------------------
 
-    def pull(self, state: FMState, uids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    def pull(self, state, uids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Materialize rows [U, 1+K]: w then V. V is zero until activated
         (cnt >= V_threshold), matching the reference's absent-entry
         semantics; invalid (padded) lanes are fully zero."""
+        if isinstance(state, PackedFMState):
+            return self._pull_packed(state, uids, valid)
         idx = jnp.where(valid, uids, 0)
         v = valid.astype(jnp.float32)
         w = state.w[idx] * v
         active = self._active(state, idx, valid)
         V = state.V[:, idx].T * active[:, None].astype(jnp.float32)
+        return jnp.concatenate([w[:, None], V], axis=1)
+
+    def _pull_packed(self, state: PackedFMState, uids, valid) -> jnp.ndarray:
+        p = self.param
+        k = p.V_dim
+        idx = jnp.where(valid, uids, 0)
+        rows = state.tbl[idx]  # ONE row gather
+        w = rows[:, 0] * valid.astype(jnp.float32)
+        if k == 0:
+            return w[:, None]
+        active = valid & (rows[:, 3] >= p.V_threshold)
+        V = rows[:, 4 : 4 + k] * active[:, None].astype(jnp.float32)
         return jnp.concatenate([w[:, None], V], axis=1)
 
     def _active(self, state: FMState, uids, valid):
@@ -124,12 +186,14 @@ class FMUpdater:
 
     def update(
         self,
-        state: FMState,
+        state,
         uids: jnp.ndarray,     # i32 [U] unique table rows (clamped, sorted)
         grads: jnp.ndarray,    # f32 [U, 1+K] per-key aggregated gradients
         add_cnt: jnp.ndarray,  # f32 [U] batch occurrence counts
         valid: jnp.ndarray,    # bool [U]
-    ) -> FMState:
+    ):
+        if isinstance(state, PackedFMState):
+            return self._update_packed(state, uids, grads, add_cnt, valid)
         p = self.param
         uids = jnp.where(valid, uids, 0)  # clamp sentinel lanes; deltas masked
         g = grads[:, 0]
@@ -197,14 +261,90 @@ class FMUpdater:
             )
         return state
 
+    def _update_packed(self, state, uids, grads, add_cnt, valid):
+        """Same math/masking as the planar update, as ONE row gather +
+        ONE row scatter-add of masked deltas (see PackedFMState)."""
+        p = self.param
+        k = p.V_dim
+        uids = jnp.where(valid, uids, 0)
+        rows = state.tbl[uids]  # [U, 4+2K]
+        w, z, n, cnt = rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
+        g = grads[:, 0]
+        upd_w = valid
+        if p.tail_feature_filter > 0:
+            upd_w = upd_w & (cnt >= p.tail_feature_filter)
+
+        if p.w_updater == "ftrl":
+            n_new = n + g * g
+            sigma = (jnp.sqrt(n_new) - jnp.sqrt(n)) / p.lr_eta
+            z_new = z + g - sigma * w
+            w_new = jnp.where(
+                jnp.abs(z_new) <= p.l1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * p.l1)
+                / ((p.lr_beta + jnp.sqrt(n_new)) / p.lr_eta + p.l2),
+            )
+        elif p.w_updater == "adagrad":
+            g_r = g + p.l2 * w
+            z_new = z
+            n_new = n + g_r * g_r
+            w_new = w - p.lr_eta * g_r / (jnp.sqrt(n_new) + p.lr_beta)
+        else:  # sgd
+            z_new = z
+            n_new = n
+            w_new = w - p.lr_eta * (g + p.l2 * w)
+
+        m = upd_w.astype(jnp.float32)
+        parts = [
+            (m * (w_new - w))[:, None],
+            (m * (z_new - z))[:, None],
+            (m * (n_new - n))[:, None],
+            (valid.astype(jnp.float32) * add_cnt)[:, None],
+        ]
+        if k > 0:
+            # activation gates on the PRE-update count, like the planar path
+            V = rows[:, 4 : 4 + k]
+            nV = rows[:, 4 + k :]
+            active = valid & (cnt >= p.V_threshold)
+            if p.tail_feature_filter > 0:
+                active = active & (cnt >= p.tail_feature_filter)
+            gV = grads[:, 1:]
+            if p.V_updater == "adagrad":
+                gV_r = gV + p.V_l2 * V
+                nV_new = nV + gV_r * gV_r
+                V_new = V - p.V_lr_eta * gV_r / (jnp.sqrt(nV_new) + p.V_lr_beta)
+            else:  # sgd
+                nV_new = nV
+                V_new = V - p.V_lr_eta * (gV + p.V_l2 * V)
+            mV = active[:, None].astype(jnp.float32)
+            parts += [mV * (V_new - V), mV * (nV_new - nV)]
+        delta = jnp.concatenate(parts, axis=1)
+        return PackedFMState(tbl=state.tbl.at[uids].add(delta))
+
+    # -- feature counts (reference: the kFeaCount push) ----------------------
+
+    def add_counts(self, state, idx: jnp.ndarray, amounts: jnp.ndarray):
+        """state.cnt[idx] += amounts, either layout. idx must be in-range
+        (clamped); amounts 0 for masked lanes."""
+        if isinstance(state, PackedFMState):
+            d = state.tbl.shape[1]
+            delta = jnp.zeros((idx.shape[0], d), jnp.float32)
+            delta = delta.at[:, 3].set(amounts)
+            return PackedFMState(tbl=state.tbl.at[idx].add(delta))
+        return dataclasses.replace(state, cnt=state.cnt.at[idx].add(amounts))
+
     # -- observability ------------------------------------------------------
 
-    def stats(self, state: FMState) -> dict[str, jnp.ndarray]:
+    def stats(self, state) -> dict[str, jnp.ndarray]:
         """nnz(w) / active-V counts (the capacity observables the reference
         prints in Progress rows)."""
-        out = {"nnz_w": jnp.sum(state.w != 0).astype(jnp.float32)}
+        if isinstance(state, PackedFMState):
+            w, cnt = state.tbl[:, 0], state.tbl[:, 3]
+        else:
+            w, cnt = state.w, state.cnt
+        out = {"nnz_w": jnp.sum(w != 0).astype(jnp.float32)}
         if self.param.V_dim > 0:
-            out["nnz_V"] = jnp.sum(state.cnt >= self.param.V_threshold).astype(
+            out["nnz_V"] = jnp.sum(cnt >= self.param.V_threshold).astype(
                 jnp.float32
             )
         else:

@@ -29,7 +29,7 @@ import os
 import jax
 import numpy as np
 
-from ..updaters.updater import FMState
+from ..updaters.updater import FMState, PackedFMState, unpack_state
 
 FORMAT_VERSION = 1
 _LEAVES = ("w", "z", "n", "V", "nV", "cnt")
@@ -44,7 +44,12 @@ def _index_key(name: str, index, shape) -> str:
     return name + "@" + ",".join(parts)
 
 
-def save(path_prefix: str, state: FMState, meta: dict | None = None) -> str:
+def save(path_prefix: str, state, meta: dict | None = None) -> str:
+    if isinstance(state, PackedFMState):
+        # checkpoints always use the FMState interchange layout, so a
+        # model trained packed loads into any store/layout (and the
+        # inspection tools keep working)
+        state = jax.jit(unpack_state)(state)
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}
     if jax.process_count() == 1:
@@ -109,15 +114,15 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
             for k in zf.files:
                 available[k] = zf[k]
 
-    template = store.init_state(0)  # placement/shape template
+    shapes, shardings = store.fmstate_placement()
     placed = {}
     for name in _LEAVES:
-        ref = getattr(template, name)
-        sharding = ref.sharding
-        dev_idx = sharding.addressable_devices_indices_map(ref.shape)
+        shape = getattr(shapes, name).shape
+        sharding = getattr(shardings, name)
+        dev_idx = sharding.addressable_devices_indices_map(shape)
         singles = []
         for dev, index in dev_idx.items():
-            key = _index_key(name, index, ref.shape)
+            key = _index_key(name, index, shape)
             if key not in available:
                 raise ValueError(
                     f"checkpoint {path_prefix} lacks shard {key}: restart "
@@ -126,6 +131,6 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
                 )
             singles.append(jax.device_put(available[key], dev))
         placed[name] = jax.make_array_from_single_device_arrays(
-            ref.shape, sharding, singles
+            shape, sharding, singles
         )
-    return FMState(**placed), meta
+    return store.place_state(FMState(**placed)), meta

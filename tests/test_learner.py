@@ -86,7 +86,9 @@ def test_sharded_checkpoint_roundtrip(data, tmp_path, monkeypatch):
 
     assert isinstance(learner.store, ShardedStore)
     learner.train_epoch(0)
-    ref = jax.device_get(learner.state)
+    from helpers import fm_leaves
+
+    ref = fm_leaves(learner.state)
 
     prefix = str(tmp_path / "shardckpt")
     monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
@@ -98,7 +100,7 @@ def test_sharded_checkpoint_roundtrip(data, tmp_path, monkeypatch):
 
     restored, meta = checkpoint.load_for_store(prefix, learner.store)
     assert meta["sharded"] and meta["epoch"] == 1
-    got = jax.device_get(restored)
+    got = fm_leaves(restored)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),

@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+from helpers import fm_leaves
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -187,7 +189,7 @@ def test_multiprocess_train_matches_single_process(mp_run):
 
     import jax
 
-    ref = jax.device_get(state)
+    ref = fm_leaves(state)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
         a = np.asarray(getattr(ref, name))
         if a.size:

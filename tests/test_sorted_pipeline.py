@@ -7,6 +7,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from helpers import fm_leaves
 import pytest
 
 from difacto_tpu.config import Config, FMParam
@@ -150,8 +152,8 @@ def test_sorted_training_end_to_end():
         me, pe = srt.eval_step_sorted(s2, sb)
         assert np.isfinite(np.asarray(pe)).all()
     for name in ("w", "z", "n", "V", "nV", "cnt"):
-        a = np.asarray(getattr(jax.device_get(s1), name))
-        c = np.asarray(getattr(jax.device_get(s2), name))
+        a = np.asarray(getattr(fm_leaves(s1), name))
+        c = np.asarray(getattr(fm_leaves(s2), name))
         np.testing.assert_allclose(a, c, atol=1e-4, err_msg=name)
     np.testing.assert_allclose(
         float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-5

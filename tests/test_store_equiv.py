@@ -12,6 +12,7 @@ from difacto_tpu.data.batch_iter import rowblock_to_batches
 from difacto_tpu.data.synthetic import make_ctr_data
 from difacto_tpu.parallel.store import LocalStore, ShardedStore, make_store
 from difacto_tpu.updaters.updater import FMUpdater
+from helpers import fm_leaves
 
 
 def _cfg(**kw):
@@ -47,7 +48,7 @@ def test_local_vs_sharded_training(vdim):
         s2, m2 = sharded.train_step(s2, *args)
 
     assert float(m2.dropped_ids) == 0.0
-    h1, h2 = jax.device_get(s1), jax.device_get(s2)
+    h1, h2 = fm_leaves(s1), fm_leaves(s2)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
         a, b = np.asarray(getattr(h1, name)), np.asarray(getattr(h2, name))
         if a.size:
@@ -86,11 +87,11 @@ def test_count_step_equivalence():
         args = sharded.shard_batch(b.ids, b.vals, b.labels, b.mask)
         s2 = sharded.count_step(s2, args[0])
     np.testing.assert_allclose(
-        np.asarray(jax.device_get(s1).cnt), np.asarray(jax.device_get(s2).cnt)
+        np.asarray(fm_leaves(s1).cnt), np.asarray(fm_leaves(s2).cnt)
     )
     # total count equals total real nnz
     total_nnz = sum((b.ids >= 0).sum() for b in batches)
-    assert float(np.asarray(jax.device_get(s1).cnt).sum()) == total_nnz
+    assert float(np.asarray(fm_leaves(s1).cnt).sum()) == total_nnz
 
 
 @pytest.mark.parametrize("vdim", [0, 4])
@@ -116,7 +117,7 @@ def test_prepped_sharded_vs_prepped_local(vdim):
         s2, m2 = sharded.train_step_prepped(s2, pb)
 
     assert float(m2.dropped_ids) == 0.0
-    h1, h2 = jax.device_get(s1), jax.device_get(s2)
+    h1, h2 = fm_leaves(s1), fm_leaves(s2)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
         a, b = np.asarray(getattr(h1, name)), np.asarray(getattr(h2, name))
         if a.size:
@@ -141,7 +142,7 @@ def test_prepped_sharded_vs_unprepped_sharded():
     for b in batches:
         s1, _ = a.train_step(s1, *a.shard_batch(b.ids, b.vals, b.labels, b.mask))
         s2, _ = b_.train_step_prepped(s2, prep_batch_sharded(b, N, b_.S))
-    h1, h2 = jax.device_get(s1), jax.device_get(s2)
+    h1, h2 = fm_leaves(s1), fm_leaves(s2)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
         x, y = np.asarray(getattr(h1, name)), np.asarray(getattr(h2, name))
         if x.size:
@@ -179,6 +180,56 @@ def test_prepped_fixed_bucket_overflow_counted():
     assert float(pb.dropped.sum()) > 0
     s, m = sharded.train_step_prepped(s, pb)
     assert float(m.dropped_ids) >= float(pb.dropped.sum())
+
+
+@pytest.mark.parametrize("wupd", ["ftrl", "adagrad", "sgd"])
+def test_packed_layout_matches_planar(wupd):
+    """PackedFMState (one [N, 4+2K] row table) must train identically to
+    the planar layout across optimizer variants, tail filtering, and
+    V activation gating — both stores."""
+    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
+
+    cfg_pk = _cfg(w_updater=wupd, tail_feature_filter=2, V_threshold=3,
+                  layout="packed")
+    cfg_pl = _cfg(w_updater=wupd, tail_feature_filter=2, V_threshold=3,
+                  layout="planar")
+    upd = FMUpdater(cfg_pk.model)
+    batches = _batches(cfg_pk)
+    N = 1 << cfg_pk.data.num_bits
+
+    for cls, mk in ((LocalStore, prep_batch),
+                    (ShardedStore, None)):
+        a, b_ = cls(upd, cfg_pk), cls(upd, cfg_pl)
+        assert a.layout == "packed" and b_.layout == "planar"
+        s1, s2 = a.init_state(0), b_.init_state(0)
+        # count pass activates the gates
+        for b in batches:
+            args1 = (jnp.asarray(b.ids),) if cls is LocalStore else (
+                a.shard_batch(b.ids, b.vals, b.labels, b.mask)[0],)
+            s1 = a.count_step(s1, *args1)
+            s2 = b_.count_step(s2, *args1)
+        for b in batches:
+            if cls is LocalStore:
+                pb = prep_batch(b, N)
+                s1, m1 = a.train_step_prepped(s1, pb)
+                s2, m2 = b_.train_step_prepped(s2, pb)
+            else:
+                pb = prep_batch_sharded(b, N, a.S)
+                s1, m1 = a.train_step_prepped(s1, pb)
+                s2, m2 = b_.train_step_prepped(s2, pb)
+        h1, h2 = fm_leaves(s1), fm_leaves(s2)
+        for name in ("w", "z", "n", "V", "nV", "cnt"):
+            x, y = np.asarray(getattr(h1, name)), np.asarray(getattr(h2, name))
+            if x.size:
+                np.testing.assert_allclose(
+                    x, y, rtol=1e-5, atol=1e-6, err_msg=f"{cls.__name__}.{name}"
+                )
+        np.testing.assert_allclose(
+            float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-6
+        )
+        st1, st2 = a.stats(s1), b_.stats(s2)
+        assert float(st1["nnz_w"]) == float(st2["nnz_w"])
+        assert float(st1["nnz_V"]) == float(st2["nnz_V"])
 
 
 def test_make_store_auto():

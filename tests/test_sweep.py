@@ -9,6 +9,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from helpers import fm_leaves
 import pytest
 
 from difacto_tpu.config import Config, FMParam
@@ -108,8 +110,8 @@ def test_localstore_pallas_path_end_to_end():
         s1, m1 = xla.train_step(s1, b.ids, b.vals, b.labels, b.mask)
         s2, m2 = pal.train_step(s2, b.ids, b.vals, b.labels, b.mask)
     for name in ("w", "z", "n", "V", "nV", "cnt"):
-        a = np.asarray(getattr(jax.device_get(s1), name))
-        b = np.asarray(getattr(jax.device_get(s2), name))
+        a = np.asarray(getattr(fm_leaves(s1), name))
+        b = np.asarray(getattr(fm_leaves(s2), name))
         np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
     np.testing.assert_allclose(float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-5)
 
@@ -135,6 +137,6 @@ def test_sharded_pallas_apply_matches_xla():
         s1, _ = a.train_step(s1, *a.shard_batch(bb.ids, bb.vals, bb.labels, bb.mask))
         s2, _ = b.train_step(s2, *b.shard_batch(bb.ids, bb.vals, bb.labels, bb.mask))
     for name in ("w", "z", "n", "V", "nV", "cnt"):
-        x = np.asarray(getattr(jax.device_get(s1), name))
-        y = np.asarray(getattr(jax.device_get(s2), name))
+        x = np.asarray(getattr(fm_leaves(s1), name))
+        y = np.asarray(getattr(fm_leaves(s2), name))
         np.testing.assert_allclose(x, y, atol=1e-4, err_msg=name)
