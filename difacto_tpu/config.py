@@ -149,7 +149,8 @@ class ShardParam(ParamBase):
     num_shards: int = 0            # 0 = all visible devices
     capacity_factor: float = 2.0   # all_to_all slot slack vs perfect balance
     unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
-    kernel: str = "auto"           # pallas | xla | auto (pallas on TPU)
+    kernel: str = "auto"           # xla | pallas (whole-table sweeps) |
+                                   # pairs (touched-block sweeps) | auto
     layout: str = "auto"           # packed | planar | auto: packed = one
                                    # [N, 4+2K] row table (fastest under
                                    # XLA); planar = split w/z/n/cnt +

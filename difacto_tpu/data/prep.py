@@ -37,6 +37,7 @@ class PreppedBatch:
     ucounts: np.ndarray  # f32 [Ub]
     inv: np.ndarray      # i32 [B*L] row-major slot -> unique lane
     valid: np.ndarray    # bool [Ub]
+    pair_meta: object = None  # ops.pair_sweep.PairMeta when kernel=pairs
 
     @property
     def num_examples(self) -> int:

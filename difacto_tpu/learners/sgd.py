@@ -161,7 +161,19 @@ class SGDLearner:
             else:
                 from ..data.prep import prep_batch
 
-                fn = lambda b: prep_batch(b, num_rows)
+                if getattr(self.store, "pairs", False):
+                    # kernel=pairs: build the (block, window) pair schedule
+                    # in the prep workers too, overlapped with device steps
+                    from ..ops.pair_sweep import build_pair_meta
+
+                    br = self.store.block_rows
+
+                    def fn(b):
+                        pb = prep_batch(b, num_rows)
+                        pb.pair_meta = build_pair_meta(pb.uids, num_rows, br)
+                        return pb
+                else:
+                    fn = lambda b: prep_batch(b, num_rows)
         if fn is not None and d.prep_workers > 1:
             from ..utils.prefetch import MappedPrefetchIter
 

@@ -1,0 +1,348 @@
+"""Pair-grid table kernels: touch only the blocks the batch touches.
+
+The multi-stream sweeps (ops/sweep_ms.py) iterate over EVERY table block
+and pay a one-hot "select tax" of ``blocks x streams x 1024 x R``
+elements per step — irreducible in table size, which is exactly the
+regime (2^22..2^26 rows) where the XLA per-element gather/scatter is
+slowest (BENCH.md). These kernels invert the loop: the host (the
+Localizer seam, reference ``src/data/localizer.h`` — our
+``data/prep.py``) already produces the batch's SORTED unique ids, so it
+also knows which table blocks the batch touches and which 128-lane
+window of unique lanes covers each block. The kernel grid is the list of
+
+    (touched table block, 128-lane unique window)
+
+pairs, scalar-prefetched so every Mosaic BlockSpec index map reads its
+block/window index from the metadata — all HBM<->VMEM movement is
+compiler-pipelined BlockSpecs; there are no manual DMAs or semaphores.
+
+Why 128-lane windows: 2-D arrays admit 128-lane dynamic addressing (only
+1-D arrays force the 1024-element granularity that made the old sweeps'
+windows big), so unique ids ship as a [8, U] replicated 2-D array and
+payload/output as planar [rows, U]. Per pair the select matrix is
+[R, 128] instead of [R, 1024]: with U unique ids the total select work is
+~max(U/128, touched_blocks) x R x 128 elements — proportional to the
+BATCH, not the table.
+
+Replaces the same reference seams as the other sweeps: per-key Get/
+Update of ``src/sgd/sgd_updater.h`` with KVMatch-style range addressing
+(``src/common/kv_match.h``) dissolved into the pair metadata.
+
+Correctness invariants:
+  * every valid unique id belongs to exactly one (block, window) pair,
+    so the fused optimizer update applies exactly once per key;
+  * windows may straddle a block boundary — the pair of the next block
+    re-reads the same window; ids of other blocks never match the
+    select compare, so nothing double-counts;
+  * pairs are sorted by (block, window): consecutive pairs that share a
+    block (or a window) keep their VMEM block resident across grid
+    steps, which both avoids refetches and makes the read-modify-write
+    ordering trivial (the TPU grid is sequential);
+  * pad pairs repeat the LAST real block with an all-sentinel window —
+    they re-write that block unchanged;
+  * sentinel lanes (id == num_rows) match no row; the pull output for
+    them is zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FMParam
+from ..updaters.updater import FMState
+from .sweep_ms import fused_table_update
+
+W = 128  # unique-window lane granularity (2-D dynamic-slice tile)
+
+# pair-count bucket ladder (few distinct jit/Mosaic specializations)
+PAIR_BUCKETS = (256, 512, 1024, 2048, 3072, 4096, 4608, 5120, 6144,
+                8192, 12288, 16384, 24576, 32768, 49152, 65536)
+
+
+def _pad8(d: int) -> int:
+    return (d + 7) // 8 * 8
+
+
+def _bucket(n: int, buckets=PAIR_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclass
+class PairMeta:
+    """Host-built pair schedule for one batch's sorted unique ids."""
+
+    blocks: np.ndarray  # i32 [P] table block index per pair
+    wins: np.ndarray    # i32 [P] unique-window index (lane/128) per pair
+    first: np.ndarray   # i32 [P] 1 = first pair of a consecutive block run
+    wfirst: np.ndarray  # i32 [P] 1 = first pair of a consecutive window run
+    block_rows: int
+
+
+def build_pair_meta(
+    uids: np.ndarray, num_rows: int, block_rows: int, buckets=PAIR_BUCKETS
+) -> PairMeta:
+    """Pair schedule from sorted unique ids (sentinel ``num_rows`` pads).
+
+    Vectorized host pass (runs in the prep/prefetch thread, like the
+    reference's Localizer): touched blocks via searchsorted over block
+    boundaries, per-block aligned window ranges, padded to a bucket with
+    (last real block, sentinel window) no-op pairs.
+    """
+    uids = np.asarray(uids)
+    ub = uids.shape[0]
+    n_valid = int(np.searchsorted(uids, num_rows, side="left"))
+    sent_win = ub // W  # the appended all-sentinel window
+    if n_valid == 0:
+        p = _bucket(1, buckets)
+        return PairMeta(
+            blocks=np.zeros(p, np.int32),
+            wins=np.full(p, sent_win, np.int32),
+            first=(np.arange(p) == 0).astype(np.int32),
+            wfirst=(np.arange(p) == 0).astype(np.int32),
+            block_rows=block_rows,
+        )
+    nb = num_rows // block_rows
+    bounds = np.arange(nb + 1, dtype=np.int64) * block_rows
+    lo = np.searchsorted(uids[:n_valid], bounds, side="left")
+    touched = np.nonzero(lo[1:] > lo[:-1])[0]  # blocks with >=1 unique id
+    w0 = lo[touched] // W
+    w1 = (lo[touched + 1] - 1) // W
+    counts = (w1 - w0 + 1).astype(np.int64)
+    p_real = int(counts.sum())
+    blocks = np.repeat(touched.astype(np.int32), counts)
+    # wins = w0[b] + intra-run offset
+    offs = np.arange(p_real, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    wins = (np.repeat(w0, counts) + offs).astype(np.int32)
+    p = _bucket(p_real, buckets)
+    blocks = np.concatenate(
+        [blocks, np.full(p - p_real, blocks[-1], np.int32)]
+    )
+    wins = np.concatenate([wins, np.full(p - p_real, sent_win, np.int32)])
+    first = np.ones(p, np.int32)
+    first[1:] = blocks[1:] != blocks[:-1]
+    wfirst = np.ones(p, np.int32)
+    wfirst[1:] = wins[1:] != wins[:-1]
+    return PairMeta(
+        blocks=blocks, wins=wins, first=first, wfirst=wfirst,
+        block_rows=block_rows,
+    )
+
+
+def _uids2d(uids: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """[U] sorted ids -> [8, U+W] replicated, all-sentinel extra window."""
+    up = jnp.concatenate(
+        [uids.astype(jnp.int32), jnp.full((W,), num_rows, jnp.int32)]
+    )
+    return jnp.broadcast_to(up[None, :], (8, up.shape[0]))
+
+
+def _selT(uidw_ref, base: jnp.ndarray, block_rows: int) -> jnp.ndarray:
+    """[R, W] one-hot: row r matches window lane j iff uid[j] == base+r."""
+    lid = uidw_ref[0, :] - base  # [W]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, W), 0)
+    return (rows == lid[None, :]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pull: rows_u [dp, U] = per-unique-id rows (w | activated V), planar
+# ---------------------------------------------------------------------------
+
+
+def _pull_pairs_kernel(
+    blocks_ref, wins_ref, wfirst_ref, uidw_ref, *refs,
+    block_rows: int, k: int, v_threshold: float,
+):
+    if k > 0:
+        w_ref, cnt_ref, v_ref, out_ref = refs
+    else:
+        w_ref, cnt_ref, out_ref = refs
+    i = pl.program_id(0)
+    base = blocks_ref[i] * block_rows
+    selT = _selT(uidw_ref, base, block_rows)  # [R, W]
+    dp = out_ref.shape[0]
+    parts = [w_ref[:][None, :]]
+    if k > 0:
+        act = (cnt_ref[:] >= v_threshold).astype(jnp.float32)
+        parts.append(v_ref[:] * act[None, :])
+    if dp > 1 + k:
+        parts.append(jnp.zeros((dp - 1 - k, block_rows), jnp.float32))
+    m = jnp.concatenate(parts, axis=0)  # [dp, R]
+    new = jax.lax.dot_general(
+        m, selT,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [dp, W]
+    lid = uidw_ref[0, :] - base
+    owned = ((lid >= 0) & (lid < block_rows))[None, :]
+    # first visit of this window: unowned lanes start at 0 (out VMEM is
+    # undefined); a straddling block's pair later fills its own lanes
+    prev = jnp.where(wfirst_ref[i] == 1, 0.0, out_ref[:])
+    out_ref[:] = jnp.where(owned, new, prev)
+
+
+def pull_pairs(
+    state: FMState,
+    uids: jnp.ndarray,      # i32 [U] sorted unique ids (sentinel = N pad)
+    meta_dev: tuple,        # (blocks, wins, first, wfirst) on device
+    param: FMParam,
+    *,
+    block_rows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Planar unique rows [1+K, U]; sentinel lanes zero."""
+    n, k = state.num_rows, state.k
+    assert n % block_rows == 0
+    u = uids.shape[0]
+    assert u % W == 0
+    blocks, wins, first, wfirst = meta_dev
+    dp = _pad8(1 + k)
+    uw = _uids2d(uids, n)
+
+    kern = functools.partial(
+        _pull_pairs_kernel,
+        block_rows=block_rows, k=k, v_threshold=float(param.V_threshold),
+    )
+    in_specs = [
+        pl.BlockSpec((8, W), lambda i, b, w, wf: (0, w[i])),       # uids
+        pl.BlockSpec((block_rows,), lambda i, b, w, wf: (b[i],)),  # w
+        pl.BlockSpec((block_rows,), lambda i, b, w, wf: (b[i],)),  # cnt
+    ]
+    args = [uw, state.w, state.cnt]
+    if k > 0:
+        in_specs.append(
+            pl.BlockSpec((k, block_rows), lambda i, b, w, wf: (0, b[i]))
+        )
+        args.append(state.V)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(blocks.shape[0],),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((dp, W), lambda i, b, w, wf: (0, w[i])),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((dp, u + W), jnp.float32),
+        interpret=interpret,
+    )(blocks, wins, wfirst, *args)
+    return out[: 1 + k, :u]
+
+
+# ---------------------------------------------------------------------------
+# apply: per-key aggregated payload -> fused FTRL/AdaGrad on touched blocks
+# ---------------------------------------------------------------------------
+
+
+def _apply_pairs_kernel(
+    blocks_ref, wins_ref, first_ref, uidw_ref, payw_ref, *refs,
+    block_rows: int, k: int, p: FMParam,
+):
+    if k > 0:
+        (w_ref, z_ref, n_ref, cnt_ref, v_ref, nv_ref,
+         w_o, z_o, n_o, cnt_o, v_o, nv_o) = refs
+    else:
+        w_ref, z_ref, n_ref, cnt_ref, w_o, z_o, n_o, cnt_o = refs
+    i = pl.program_id(0)
+    base = blocks_ref[i] * block_rows
+    selT = _selT(uidw_ref, base, block_rows)  # [R, W]
+    acc = jax.lax.dot_general(
+        payw_ref[:], selT,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [pp, R] per-row payload (each key lives in exactly one window)
+    v = v_ref[:] if k > 0 else None
+    nv = nv_ref[:] if k > 0 else None
+    w_n, z_n, n_n, cnt_n, v_n, nv_n = fused_table_update(
+        acc, w_ref[:], z_ref[:], n_ref[:], cnt_ref[:], v, nv, p, k
+    )
+    touched = acc[2 + k] > 0.0
+    fst = first_ref[i] == 1
+
+    def wr(o_ref, in_vals, new_vals, bmask):
+        # rows untouched by THIS pair keep: the input block on the first
+        # pair of a block run, the running output afterwards
+        prev = jnp.where(fst, in_vals, o_ref[:])
+        o_ref[:] = jnp.where(bmask, new_vals, prev)
+
+    wr(w_o, w_ref[:], w_n, touched)
+    wr(z_o, z_ref[:], z_n, touched)
+    wr(n_o, n_ref[:], n_n, touched)
+    wr(cnt_o, cnt_ref[:], cnt_n, touched)
+    if k > 0:
+        wr(v_o, v_ref[:], v_n, touched[None, :])
+        wr(nv_o, nv_ref[:], nv_n, touched[None, :])
+
+
+def apply_pairs(
+    state: FMState,
+    uids: jnp.ndarray,      # i32 [U] sorted unique ids (sentinel = N pad)
+    payload: jnp.ndarray,   # f32 [3+K, U] planar: gw | gV | add_cnt | touch
+    meta_dev: tuple,        # (blocks, wins, first, wfirst) on device
+    param: FMParam,
+    *,
+    block_rows: int,
+    interpret: bool = False,
+) -> FMState:
+    n, k = state.num_rows, state.k
+    assert n % block_rows == 0
+    u = uids.shape[0]
+    assert u % W == 0
+    blocks, wins, first, wfirst = meta_dev
+    pp = _pad8(3 + k)
+    uw = _uids2d(uids, n)
+    pay = jnp.pad(payload, ((0, pp - (3 + k)), (0, W)))
+
+    kern = functools.partial(
+        _apply_pairs_kernel, block_rows=block_rows, k=k, p=param
+    )
+    bspec1 = pl.BlockSpec((block_rows,), lambda i, b, w, f: (b[i],))
+    bspeck = pl.BlockSpec((k, block_rows), lambda i, b, w, f: (0, b[i]))
+    in_specs = [
+        pl.BlockSpec((8, W), lambda i, b, w, f: (0, w[i])),   # uids
+        pl.BlockSpec((pp, W), lambda i, b, w, f: (0, w[i])),  # payload
+        bspec1, bspec1, bspec1, bspec1,
+    ]
+    args = [uw, pay, state.w, state.z, state.n, state.cnt]
+    out_specs = [bspec1, bspec1, bspec1, bspec1]
+    shapes = [jax.ShapeDtypeStruct((n,), jnp.float32)] * 4
+    # alias arg index -> output index (scalar-prefetch args count: 3)
+    aliases = {5: 0, 6: 1, 7: 2, 8: 3}
+    if k > 0:
+        in_specs += [bspeck, bspeck]
+        args += [state.V, state.nV]
+        out_specs += [bspeck, bspeck]
+        shapes += [jax.ShapeDtypeStruct((k, n), jnp.float32)] * 2
+        aliases.update({9: 4, 10: 5})
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(blocks.shape[0],),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(shapes),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(blocks, wins, first, *args)
+    if k > 0:
+        w, z, nn, cnt, v, nv = outs
+    else:
+        w, z, nn, cnt = outs
+        v, nv = state.V, state.nV
+    return FMState(w=w, z=z, n=nn, V=v, nV=nv, cnt=cnt)

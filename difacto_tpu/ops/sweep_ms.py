@@ -243,10 +243,27 @@ def _apply_ms_kernel(
             jax.lax.fori_loop(0, nwin, win, 0)
 
     acc = acc_ref[:]
+    v = v_ref[:] if k > 0 else None
+    nv = nv_ref[:] if k > 0 else None
+    w_n, z_n, n_n, cnt_n, v_n, nv_n = fused_table_update(
+        acc, w_ref[:], z_ref[:], n_ref[:], cnt_ref[:], v, nv, p, k
+    )
+    w_o[:], z_o[:], n_o[:], cnt_o[:] = w_n, z_n, n_n, cnt_n
+    if k > 0:
+        v_o[:] = v_n
+        nv_o[:] = nv_n
+
+
+def fused_table_update(acc, w, z, n, cnt, v, nv, p: FMParam, k: int):
+    """The server-side optimizer applied to one table block (shared by the
+    multi-stream and pair sweeps; semantics pinned against FMUpdater by
+    tests). ``acc [3+K(+pad), R]`` carries per-row aggregated payload rows
+    gw | gV | add_cnt | touch. Returns the POST-masking values (rows not
+    touched / not trainable keep their inputs), so callers can write them
+    back verbatim."""
     g = acc[0]
     add_cnt = acc[1 + k]
     touch = acc[2 + k] > 0.0
-    w, z, n, cnt = w_ref[:], z_ref[:], n_ref[:], cnt_ref[:]
 
     upd_w = touch
     if p.tail_feature_filter > 0:
@@ -272,17 +289,17 @@ def _apply_ms_kernel(
         n_new = n
         w_new = w - p.lr_eta * (g + p.l2 * w)
 
-    w_o[:] = jnp.where(upd_w, w_new, w)
-    z_o[:] = jnp.where(upd_w, z_new, z)
-    n_o[:] = jnp.where(upd_w, n_new, n)
-    cnt_o[:] = cnt + add_cnt
+    w_o = jnp.where(upd_w, w_new, w)
+    z_o = jnp.where(upd_w, z_new, z)
+    n_o = jnp.where(upd_w, n_new, n)
+    cnt_o = cnt + add_cnt
 
+    v_o = nv_o = None
     if k > 0:
         gv = acc[1 : 1 + k]
         active = touch & (cnt >= p.V_threshold)
         if p.tail_feature_filter > 0:
             active = active & (cnt >= p.tail_feature_filter)
-        v, nv = v_ref[:], nv_ref[:]
         if p.V_updater == "adagrad":
             gv_r = gv + p.V_l2 * v
             nv_new = nv + gv_r * gv_r
@@ -291,8 +308,9 @@ def _apply_ms_kernel(
             nv_new = nv
             v_new = v - p.V_lr_eta * (gv + p.V_l2 * v)
         mv = active[None, :]
-        v_o[:] = jnp.where(mv, v_new, v)
-        nv_o[:] = jnp.where(mv, nv_new, nv)
+        v_o = jnp.where(mv, v_new, v)
+        nv_o = jnp.where(mv, nv_new, nv)
+    return w_o, z_o, n_o, cnt_o, v_o, nv_o
 
 
 def sweep_apply_ms(

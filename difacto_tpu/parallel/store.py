@@ -50,40 +50,54 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _resolve_layout(cfg: Config, pallas: bool) -> str:
+def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
     """packed = one [N, 4+2K] row table (ONE gather + ONE scatter per
     step, measured much faster under XLA); planar = split arrays with
     V [K, N] (no 128-lane padding — the layout for huge tables and the
-    Pallas sweep kernels). auto: packed for the XLA path when the packed
-    table's physical size (N x 128 lanes x 4 B) stays comfortable."""
+    Pallas sweep/pair kernels). auto: packed for the XLA path when the
+    packed table's physical size (N x 128 lanes x 4 B) stays
+    comfortable."""
     lay = cfg.shard.layout
     if lay == "auto":
-        if pallas or cfg.shard.pipeline == "sorted":
+        if needs_planar or cfg.shard.pipeline == "sorted":
             return "planar"
         return "packed" if cfg.data.num_bits <= 24 else "planar"
-    if lay == "packed" and pallas:
-        raise ValueError("layout=packed is incompatible with kernel=pallas "
-                         "(the sweep kernels need the planar [K, N] layout)")
+    if lay == "packed" and needs_planar:
+        raise ValueError("layout=packed is incompatible with kernel="
+                         f"{cfg.shard.kernel!r} (the Pallas table kernels "
+                         "need the planar [K, N] layout)")
     return lay
 
 
-def _use_pallas(cfg: Config) -> bool:
-    # Measured on v5e (see bench.py): inside one fused jitted step, XLA's
-    # donated in-place scatter-update matches the Pallas apply sweep at
-    # flagship shapes, and XLA compiles in seconds vs ~10 min for the
-    # Pallas kernels on the remote compile service — so auto currently
-    # means XLA. kernel=pallas opts in (it wins for standalone updates
-    # and is the base for the fully-fused sorted pipeline).
+def _kernel_kind(cfg: Config) -> str:
+    """xla | pallas (whole-table sweeps) | pairs (touched-block sweeps).
+
+    Measured on v5e (see bench.py/BENCH.md): inside one fused jitted
+    step, XLA's donated in-place scatter-update matches the whole-table
+    Pallas apply sweep at flagship shapes; the PAIR kernels
+    (ops/pair_sweep.py) only touch the blocks the batch hits, so their
+    cost scales with the batch, not the table. auto currently means xla;
+    kernel=pairs/pallas opt in explicitly."""
     kind = cfg.shard.kernel
     if kind == "auto":
-        return False
-    if kind == "pallas" and jax.default_backend() != "tpu":
+        return "xla"
+    if kind not in ("xla", "pallas", "pairs"):
+        raise ValueError(f"unknown kernel {kind!r}")
+    return kind
+
+
+def _check_backend(kind: str, interpret: bool) -> None:
+    if kind in ("pallas", "pairs") and not interpret \
+            and jax.default_backend() != "tpu":
         raise ValueError(
-            "kernel=pallas needs the TPU backend (Mosaic kernels); on CPU "
+            f"kernel={kind} needs the TPU backend (Mosaic kernels); on CPU "
             "use kernel=xla, or construct the store with interpret=True "
             "for kernel testing"
         )
-    return kind == "pallas"
+
+
+def _use_pallas(cfg: Config) -> bool:
+    return _kernel_kind(cfg) == "pallas"
 
 
 class LocalStore:
@@ -95,15 +109,20 @@ class LocalStore:
         self.num_rows = 1 << cfg.data.num_bits
         nnz = cfg.data.batch_size * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or nnz
-        self.pallas = _use_pallas(cfg) or interpret
+        kind = _kernel_kind(cfg)
+        _check_backend(kind, interpret)
+        self.pallas = kind == "pallas" or (interpret and kind != "pairs")
+        self.pairs = kind == "pairs"
         self.interpret = interpret
-        self.layout = _resolve_layout(cfg, self.pallas)
+        self.layout = _resolve_layout(cfg, self.pallas or self.pairs)
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.loss = cfg.learner.loss
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
         self._jit_prepped_step = jax.jit(self._prepped_step, donate_argnums=0)
         self._jit_prepped_eval = jax.jit(self._prepped_eval)
+        self._jit_pairs_step = jax.jit(self._pairs_step, donate_argnums=0)
+        self._jit_pairs_eval = jax.jit(self._pairs_eval)
         self._jit_sorted_step = jax.jit(self._sorted_step, donate_argnums=0)
         self._jit_sorted_eval = jax.jit(self._sorted_eval)
 
@@ -222,14 +241,98 @@ class LocalStore:
         return metrics, py
 
     def train_step_prepped(self, state, pb):
+        if self.pairs:
+            m = self._pair_meta(pb)
+            return self._jit_pairs_step(
+                state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+                pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
+            )
         return self._jit_prepped_step(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
         )
 
     def eval_step_prepped(self, state, pb):
+        if self.pairs:
+            m = self._pair_meta(pb)
+            return self._jit_pairs_eval(
+                state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+                pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
+            )
         return self._jit_prepped_eval(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
         )
+
+    # -- pair-kernel path (ops/pair_sweep.py): Mosaic sweeps over only the
+    # (table block, unique window) pairs the batch actually touches; rides
+    # the same host-localized PreppedBatch as the prepped path ------------
+
+    def _pair_meta(self, pb):
+        """The host-built pair schedule (computed in the prep/prefetch
+        thread when the learner attached it; rebuilt here otherwise)."""
+        m = getattr(pb, "pair_meta", None)
+        if m is None or m.block_rows != self.block_rows:
+            from ..ops.pair_sweep import build_pair_meta
+
+            m = build_pair_meta(
+                np.asarray(pb.uids), self.num_rows, self.block_rows
+            )
+        return m
+
+    def _pairs_pull_compute(
+        self, state, vals, labels, mask, uids, ucounts, inv, valid,
+        blocks, wins, first, wfirst,
+    ):
+        from ..ops.pair_sweep import pull_pairs
+
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_p = pull_pairs(
+            state, uids, (blocks, wins, first, wfirst), self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        # unique windows past the batch's real unique count are never
+        # visited by any pair — their output lanes are undefined; the
+        # valid mask zeroes them (pad slots index the junk lane ub-1)
+        rows_u = jnp.where(valid[:, None], rows_p.T, 0.0)
+        grads_u, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss
+        )
+        return loc, grads_u, py, metrics
+
+    def _pairs_step(
+        self, state, vals, labels, mask, uids, ucounts, inv, valid,
+        blocks, wins, first, wfirst,
+    ):
+        from ..ops.pair_sweep import apply_pairs
+
+        loc, grads_u, _, metrics = self._pairs_pull_compute(
+            state, vals, labels, mask, uids, ucounts, inv, valid,
+            blocks, wins, first, wfirst,
+        )
+        vf = valid.astype(jnp.float32)
+        payload = jnp.concatenate(
+            [
+                jnp.where(valid[None, :], grads_u.T, 0.0),  # gw | gV planar
+                (loc.counts * vf)[None, :],                 # add_cnt
+                vf[None, :],                                # touch
+            ],
+            axis=0,
+        )
+        state = apply_pairs(
+            state, uids, payload, (blocks, wins, first, wfirst),
+            self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return state, metrics
+
+    def _pairs_eval(
+        self, state, vals, labels, mask, uids, ucounts, inv, valid,
+        blocks, wins, first, wfirst,
+    ):
+        _, _, py, metrics = self._pairs_pull_compute(
+            state, vals, labels, mask, uids, ucounts, inv, valid,
+            blocks, wins, first, wfirst,
+        )
+        return metrics, py
 
     # -- sorted pipeline (data/prep.py :: SortedBatch + ops/sweep_ms +
     # ops/fm_chunk): no per-batch unique, no XLA sparse ops at all --------
@@ -333,6 +436,14 @@ class ShardedStore:
         self.num_rows = 1 << cfg.data.num_bits
         assert self.num_rows % self.S == 0, "num_shards must divide table rows"
         self.rows_per_shard = self.num_rows // self.S
+        kind = _kernel_kind(cfg)
+        if kind == "pairs":
+            raise ValueError(
+                "kernel=pairs currently needs store=local (the pair "
+                "schedule is built per global batch; per-shard pair "
+                "scheduling is not wired yet)"
+            )
+        _check_backend(kind, interpret)
         self.pallas = _use_pallas(cfg) or interpret
         self.interpret = interpret
         self.layout = _resolve_layout(cfg, self.pallas)
