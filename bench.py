@@ -84,6 +84,7 @@ def _store():
             ("V_dim", str(K)),
             ("kernel", kernel),
             ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
+            ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
         ]
     )
     upd = FMUpdater(cfg.model)

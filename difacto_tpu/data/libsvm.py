@@ -97,9 +97,18 @@ def iter_file_chunks(
     """Stream a text file in line-aligned chunks, optionally reading only
     the part_index-th of num_parts byte ranges (record-aligned at newline
     boundaries). Counterpart of dmlc ``InputSplit`` + ``ChunkIter``:
-    this is how each worker/job reads a disjoint shard of a file."""
+    this is how each worker/job reads a disjoint shard of a file.
+
+    ``.gz`` files are supported as compressed streams (dmlc-core reads
+    gzip via its stream layer too). Gzip is not byte-range seekable, so
+    parts of a .gz file are line-aligned decompressed chunks dealt
+    round-robin by chunk index — every part decompresses the stream but
+    parses only its share; with many files, prefer one part per file."""
     import os
 
+    if path.endswith(".gz"):
+        yield from _iter_gzip_chunks(path, chunk_bytes, part_index, num_parts)
+        return
     size = os.path.getsize(path)
     lo = size * part_index // num_parts
     hi = size * (part_index + 1) // num_parts
@@ -129,3 +138,29 @@ def iter_file_chunks(
             carry = block[cut + 1 :]
         if carry.strip():
             yield carry
+
+
+def _iter_gzip_chunks(
+    path: str, chunk_bytes: int, part_index: int, num_parts: int
+) -> Iterator[bytes]:
+    """Line-aligned chunks of a gzip stream, round-robin across parts."""
+    import gzip
+
+    idx = 0
+    carry = b""
+    with gzip.open(path, "rb") as f:
+        while True:
+            block = f.read(chunk_bytes)
+            if not block:
+                break
+            cut = block.rfind(b"\n")
+            if cut < 0:
+                carry += block
+                continue
+            chunk = carry + block[: cut + 1]
+            carry = block[cut + 1 :]
+            if idx % num_parts == part_index:
+                yield chunk
+            idx += 1
+    if carry.strip() and idx % num_parts == part_index:
+        yield carry

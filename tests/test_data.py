@@ -213,3 +213,46 @@ def test_file_order_shuffles_across_epochs(tmp_path):
     a = np.concatenate([b.labels for b in it2])
     b2 = np.concatenate([b.labels for b in it2])
     np.testing.assert_array_equal(a, b2)
+
+
+def test_gzip_chunks_disjoint_and_complete(tmp_path):
+    """.gz streams: chunk-round-robin parts cover every line exactly once,
+    and a single-part read matches the plain file (dmlc gzip streams)."""
+    import gzip
+
+    lines = [f"{i % 2} {i}:1\n" for i in range(997)]
+    gz = tmp_path / "d.svm.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write("".join(lines).encode())
+    whole = b"".join(iter_file_chunks(str(gz)))
+    assert whole == "".join(lines).encode()
+    seen = []
+    for part in range(3):
+        for chunk in iter_file_chunks(
+            str(gz), chunk_bytes=256, part_index=part, num_parts=3
+        ):
+            seen.extend(chunk.splitlines())
+    assert sorted(seen) == sorted(ln.strip().encode() for ln in lines)
+
+
+def test_batchiter_reads_gzip(tmp_path):
+    """End-to-end: BatchIter over a .gz file yields the same examples as
+    the plain text file."""
+    from difacto_tpu.data.batch_iter import BatchIter
+
+    import gzip
+
+    lines = [f"{i % 2} {i}:{i + 1}\n" for i in range(100)]
+    plain = tmp_path / "d.svm"
+    plain.write_text("".join(lines))
+    gz = tmp_path / "z.svm.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write("".join(lines).encode())
+    kw = dict(batch_size=32, max_nnz=4, num_bits=16)
+    a = [b for b in BatchIter(str(plain), **kw)]
+    b = [b for b in BatchIter(str(gz), **kw)]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.ids, y.ids)
+        np.testing.assert_array_equal(x.vals, y.vals)
+        np.testing.assert_array_equal(x.labels, y.labels)
