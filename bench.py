@@ -94,6 +94,8 @@ def _store():
 
 
 def bench_tpu() -> dict:
+    import dataclasses
+
     import jax
 
     from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
@@ -103,12 +105,36 @@ def bench_tpu() -> dict:
     state = store.init_state(0)
     batches = make_batches(8)
     prep = os.environ.get("BENCH_PREP", "host") == "host"
+    # default: batches live on the device (the learner overlaps/caches
+    # placement — utils/place.py; over this environment's tunneled TPU,
+    # per-step h2d re-transfer measures the ~30-90 MB/s tunnel instead of
+    # the chip). BENCH_HOST_BATCHES=1 keeps host batches to measure the
+    # tunnel-fed end-to-end rate.
+    place = not os.environ.get("BENCH_HOST_BATCHES")
+
+    def put(pb):
+        if not place:
+            return pb
+        arrs = jax.device_put(
+            tuple(getattr(pb, f.name) for f in dataclasses.fields(pb)
+                  if isinstance(getattr(pb, f.name), np.ndarray))
+        )
+        it = iter(arrs)
+        return dataclasses.replace(
+            pb,
+            **{
+                f.name: next(it)
+                for f in dataclasses.fields(pb)
+                if isinstance(getattr(pb, f.name), np.ndarray)
+            },
+        )
+
     if prep and isinstance(store, ShardedStore):
         pbs = [prep_batch_sharded(b, 1 << NUM_BITS, store.S) for b in batches]
         ub = {p.ub for p in pbs}
         step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     elif prep:
-        pbs = [prep_batch(b, 1 << NUM_BITS) for b in batches]
+        pbs = [put(prep_batch(b, 1 << NUM_BITS)) for b in batches]
         ub = {p.uids.shape[0] for p in pbs}
         step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     else:

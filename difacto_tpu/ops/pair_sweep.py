@@ -89,20 +89,60 @@ class PairMeta:
 
 
 def build_pair_meta(
-    uids: np.ndarray, num_rows: int, block_rows: int, buckets=PAIR_BUCKETS
+    uids: np.ndarray,
+    num_rows: int,
+    block_rows: int,
+    buckets=PAIR_BUCKETS,
+    seg_len: int | None = None,
+    order: str = "block",
 ) -> PairMeta:
-    """Pair schedule from sorted unique ids (sentinel ``num_rows`` pads).
+    """Pair schedule from a sorted id stream (sentinel ``num_rows`` pads).
 
     Vectorized host pass (runs in the prep/prefetch thread, like the
     reference's Localizer): touched blocks via searchsorted over block
     boundaries, per-block aligned window ranges, padded to a bucket with
     (last real block, sentinel window) no-op pairs.
+
+    ``seg_len``: the stream is sorted only WITHIN consecutive segments of
+    this many lanes (SortedBatch chunks; default: one whole-array
+    segment). Ids may repeat — per-slot streams are valid input; the
+    apply kernel aggregates across a block's pairs before updating.
+
+    ``order``: 'block' sorts pairs (block, window) — same-block runs
+    consecutive, required by the apply kernel's accumulate-until-last;
+    'window' sorts (window, block) — same-window runs consecutive,
+    required by the pull kernel's first-visit blend when segments make
+    the global window sequence non-monotonic. For a single sorted
+    segment both hold under 'block' order.
     """
     uids = np.asarray(uids)
     ub = uids.shape[0]
-    n_valid = int(np.searchsorted(uids, num_rows, side="left"))
     sent_win = ub // W  # the appended all-sentinel window
-    if n_valid == 0:
+    if seg_len is None:
+        seg_len = ub
+    assert ub % seg_len == 0 and seg_len % W == 0
+    nb = num_rows // block_rows
+    bounds = np.arange(nb + 1, dtype=np.int64) * block_rows
+    blocks_l: list[np.ndarray] = []
+    wins_l: list[np.ndarray] = []
+    for off in range(0, ub, seg_len):
+        seg = uids[off : off + seg_len]
+        n_valid = int(np.searchsorted(seg, num_rows, side="left"))
+        if n_valid == 0:
+            continue
+        lo = off + np.searchsorted(seg[:n_valid], bounds, side="left")
+        touched = np.nonzero(lo[1:] > lo[:-1])[0]  # blocks with >=1 id here
+        w0 = lo[touched] // W
+        w1 = (lo[touched + 1] - 1) // W
+        counts = (w1 - w0 + 1).astype(np.int64)
+        blk = np.repeat(touched.astype(np.int32), counts)
+        # wins = w0[b] + intra-run offset
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        blocks_l.append(blk)
+        wins_l.append((np.repeat(w0, counts) + offs).astype(np.int32))
+    if not blocks_l:
         p = _bucket(1, buckets)
         return PairMeta(
             blocks=np.zeros(p, np.int32),
@@ -111,20 +151,13 @@ def build_pair_meta(
             wfirst=(np.arange(p) == 0).astype(np.int32),
             block_rows=block_rows,
         )
-    nb = num_rows // block_rows
-    bounds = np.arange(nb + 1, dtype=np.int64) * block_rows
-    lo = np.searchsorted(uids[:n_valid], bounds, side="left")
-    touched = np.nonzero(lo[1:] > lo[:-1])[0]  # blocks with >=1 unique id
-    w0 = lo[touched] // W
-    w1 = (lo[touched + 1] - 1) // W
-    counts = (w1 - w0 + 1).astype(np.int64)
-    p_real = int(counts.sum())
-    blocks = np.repeat(touched.astype(np.int32), counts)
-    # wins = w0[b] + intra-run offset
-    offs = np.arange(p_real, dtype=np.int64) - np.repeat(
-        np.cumsum(counts) - counts, counts
-    )
-    wins = (np.repeat(w0, counts) + offs).astype(np.int32)
+    blocks = np.concatenate(blocks_l)
+    wins = np.concatenate(wins_l)
+    if len(blocks_l) > 1 or order == "window":
+        key = (blocks, wins) if order == "window" else (wins, blocks)
+        o = np.lexsort(key)
+        blocks, wins = blocks[o], wins[o]
+    p_real = blocks.shape[0]
     p = _bucket(p_real, buckets)
     blocks = np.concatenate(
         [blocks, np.full(p - p_real, blocks[-1], np.int32)]
@@ -248,35 +281,44 @@ def pull_pairs(
 
 def _apply_pairs_kernel(
     blocks_ref, wins_ref, first_ref, uidw_ref, payw_ref, *refs,
-    block_rows: int, k: int, p: FMParam,
+    block_rows: int, k: int, p: FMParam, n_pairs: int,
 ):
     if k > 0:
         (w_ref, z_ref, n_ref, cnt_ref, v_ref, nv_ref,
-         w_o, z_o, n_o, cnt_o, v_o, nv_o) = refs
+         w_o, z_o, n_o, cnt_o, v_o, nv_o, acc_ref) = refs
     else:
-        w_ref, z_ref, n_ref, cnt_ref, w_o, z_o, n_o, cnt_o = refs
+        (w_ref, z_ref, n_ref, cnt_ref,
+         w_o, z_o, n_o, cnt_o, acc_ref) = refs
     i = pl.program_id(0)
     base = blocks_ref[i] * block_rows
     selT = _selT(uidw_ref, base, block_rows)  # [R, W]
-    acc = jax.lax.dot_general(
+    contrib = jax.lax.dot_general(
         payw_ref[:], selT,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [pp, R] per-row payload (each key lives in exactly one window)
+    )  # [pp, R] this pair's per-row payload
+    # accumulate across the block's consecutive pairs (a key's slots may
+    # span several windows for per-slot streams; the optimizer must see
+    # the per-key TOTAL before applying once)
+    fst = first_ref[i] == 1
+    acc_ref[:] = jnp.where(fst, contrib, acc_ref[:] + contrib)
+    # last pair of this block run: the next pair maps a different block
+    # (the TPU grid is sequential, so the out block flushes only then)
+    nxt = blocks_ref[jnp.minimum(i + 1, n_pairs - 1)]
+    is_last = (i == n_pairs - 1) | (nxt != blocks_ref[i])
+    acc = acc_ref[:]
     v = v_ref[:] if k > 0 else None
     nv = nv_ref[:] if k > 0 else None
     w_n, z_n, n_n, cnt_n, v_n, nv_n = fused_table_update(
         acc, w_ref[:], z_ref[:], n_ref[:], cnt_ref[:], v, nv, p, k
     )
     touched = acc[2 + k] > 0.0
-    fst = first_ref[i] == 1
 
     def wr(o_ref, in_vals, new_vals, bmask):
-        # rows untouched by THIS pair keep: the input block on the first
-        # pair of a block run, the running output afterwards
-        prev = jnp.where(fst, in_vals, o_ref[:])
-        o_ref[:] = jnp.where(bmask, new_vals, prev)
+        # intermediate pairs write the inputs back (identity — the block
+        # only flushes to HBM when the run ends); the last pair commits
+        o_ref[:] = jnp.where(is_last & bmask, new_vals, in_vals)
 
     wr(w_o, w_ref[:], w_n, touched)
     wr(z_o, z_ref[:], z_n, touched)
@@ -307,7 +349,8 @@ def apply_pairs(
     pay = jnp.pad(payload, ((0, pp - (3 + k)), (0, W)))
 
     kern = functools.partial(
-        _apply_pairs_kernel, block_rows=block_rows, k=k, p=param
+        _apply_pairs_kernel, block_rows=block_rows, k=k, p=param,
+        n_pairs=blocks.shape[0],
     )
     bspec1 = pl.BlockSpec((block_rows,), lambda i, b, w, f: (b[i],))
     bspeck = pl.BlockSpec((k, block_rows), lambda i, b, w, f: (0, b[i]))
@@ -332,6 +375,7 @@ def apply_pairs(
         grid=(blocks.shape[0],),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((pp, block_rows), jnp.float32)],
     )
     outs = pl.pallas_call(
         kern,

@@ -125,6 +125,10 @@ class LocalStore:
         self._jit_pairs_eval = jax.jit(self._pairs_eval)
         self._jit_sorted_step = jax.jit(self._sorted_step, donate_argnums=0)
         self._jit_sorted_eval = jax.jit(self._sorted_eval)
+        self._jit_sorted_pairs_step = jax.jit(
+            self._sorted_pairs_step, donate_argnums=0
+        )
+        self._jit_sorted_pairs_eval = jax.jit(self._sorted_pairs_eval)
 
     def init_state(self, seed: int = 0):
         if self.layout == "packed":
@@ -339,7 +343,7 @@ class LocalStore:
 
     @property
     def supports_sorted(self) -> bool:
-        return self.pallas and self.loss == "fm"
+        return (self.pallas or self.pairs) and self.loss == "fm"
 
     def _sorted_step_impl(self, state, svals, srow, sid, offsets, labels, mask, train):
         from ..models.losses import logit_grad_coeff
@@ -395,14 +399,105 @@ class LocalStore:
         return metrics, py
 
     def train_step_sorted(self, state, sb):
+        if self.pairs:
+            mp, ma = self._sorted_pair_metas(sb)
+            return self._jit_sorted_pairs_step(
+                state, sb.svals, sb.srow, sb.sid, sb.labels, sb.mask,
+                mp.blocks, mp.wins, mp.wfirst,
+                ma.blocks, ma.wins, ma.first,
+            )
         return self._jit_sorted_step(
             state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
         )
 
     def eval_step_sorted(self, state, sb):
+        if self.pairs:
+            mp, _ = self._sorted_pair_metas(sb)
+            return self._jit_sorted_pairs_eval(
+                state, sb.svals, sb.srow, sb.sid, sb.labels, sb.mask,
+                mp.blocks, mp.wins, mp.wfirst,
+            )
         return self._jit_sorted_eval(
             state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
         )
+
+    # -- sorted pipeline on PAIR kernels (v2): pull/apply sweep only the
+    # (block, window) pairs the batch's slot streams touch ----------------
+
+    def _sorted_pair_metas(self, sb):
+        """(pull window-major, apply block-major) pair schedules for a
+        SortedBatch (prep attaches them; rebuilt here otherwise)."""
+        mp = getattr(sb, "pair_pull", None)
+        ma = getattr(sb, "pair_apply", None)
+        if mp is None or ma is None or mp.block_rows != self.block_rows:
+            from ..ops.pair_sweep import build_pair_meta
+
+            seg = sb.sid.shape[0] // (sb.labels.shape[0] // sb.chunk_rows)
+            mp = build_pair_meta(
+                np.asarray(sb.sid), self.num_rows, self.block_rows,
+                seg_len=seg, order="window",
+            )
+            ma = build_pair_meta(
+                np.asarray(sb.sid), self.num_rows, self.block_rows,
+                seg_len=seg, order="block",
+            )
+        return mp, ma
+
+    def _sorted_pairs_fwd(self, state, svals, srow, sid, labels, mask,
+                          pb_, pw_, pwf_):
+        from ..models.losses import logit_grad_coeff
+        from ..ops.fm_chunk import fm_chunk
+        from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
+        from ..ops.pair_sweep import pull_pairs
+
+        p = self.updater.param
+        rows_p = pull_pairs(
+            state, sid, (pb_, pw_, None, pwf_), p,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        py, grads_p = fm_chunk(
+            svals, srow, sid, rows_p, labels, mask,
+            min(self.cfg.shard.chunk_rows, labels.shape[0]),
+            self.num_rows, interpret=self.interpret,
+        )
+        _, loss, correct = logit_grad_coeff(py, labels, mask)
+        metrics = StepMetrics(
+            examples=jnp.sum(mask),
+            logloss_sum=jnp.sum(loss),
+            correct_sum=jnp.sum(correct),
+            label_sum=jnp.sum(labels * mask),
+            pred_sum=jnp.sum(jax.nn.sigmoid(py) * mask),
+            auc_hist=auc_hist_update(
+                jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
+            ),
+            dropped_ids=jnp.zeros((), jnp.float32),
+        )
+        return py, grads_p, metrics
+
+    def _sorted_pairs_step(self, state, svals, srow, sid, labels, mask,
+                           pb_, pw_, pwf_, ab_, aw_, af_):
+        from ..ops.pair_sweep import apply_pairs
+
+        _, grads_p, metrics = self._sorted_pairs_fwd(
+            state, svals, srow, sid, labels, mask, pb_, pw_, pwf_
+        )
+        vf = (sid < self.num_rows).astype(jnp.float32)
+        payload = jnp.concatenate(
+            [jnp.where(vf[None, :] > 0, grads_p, 0.0), vf[None, :], vf[None, :]],
+            axis=0,
+        )
+        state = apply_pairs(
+            state, sid, payload, (ab_, aw_, af_, None), self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return state, metrics
+
+    def _sorted_pairs_eval(self, state, svals, srow, sid, labels, mask,
+                           pb_, pw_, pwf_):
+        py, _, metrics = self._sorted_pairs_fwd(
+            state, svals, srow, sid, labels, mask, pb_, pw_, pwf_
+        )
+        return metrics, py
 
     def stats(self, state):
         return jax.jit(self.updater.stats)(state)

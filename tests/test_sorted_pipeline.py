@@ -133,15 +133,20 @@ def test_fm_chunk_matches_worker_grads():
     np.testing.assert_allclose(agg, np.asarray(grads_ref), atol=1e-5)
 
 
-def test_sorted_training_end_to_end():
+@pytest.mark.parametrize("kernel", ["auto", "pairs"])
+def test_sorted_training_end_to_end(kernel):
     cfg = Config.from_kwargs(
         [("batch_size", "256"), ("num_bits", "13"), ("max_nnz_per_row", "16"),
-         ("V_dim", "4"), ("chunk_rows", "64"), ("block_rows", "512")]
+         ("V_dim", "4"), ("chunk_rows", "64"), ("block_rows", "512"),
+         ("kernel", kernel)]
     )
     upd = FMUpdater(cfg.model)
     blk = make_ctr_data(512, num_fields=12, vocab_per_field=400, seed=1)
     batches = list(rowblock_to_batches(blk, 256, 16, 13))
-    xla = LocalStore(upd, cfg)
+    xla = LocalStore(upd, Config.from_kwargs(
+        [("batch_size", "256"), ("num_bits", "13"), ("max_nnz_per_row", "16"),
+         ("V_dim", "4"), ("chunk_rows", "64"), ("block_rows", "512")]
+    ))
     srt = LocalStore(upd, cfg, interpret=True)
     assert srt.supports_sorted
     s1, s2 = xla.init_state(0), srt.init_state(0)
