@@ -22,13 +22,17 @@ the parent ALWAYS prints exactly one well-formed JSON line and exits 0 —
 a wedged TPU runtime yields {"value": 0, "error": ...} instead of a hang.
 
 Variants (env vars):
-  BENCH_KERNEL=pallas|xla   table access path        (default xla)
+  BENCH_KERNEL=xla|pallas|pairs  table access path   (default xla)
   BENCH_PREP=host|device    id dedup location        (default host)
   BENCH_STORE=local|sharded store implementation     (default local)
   BENCH_LAYOUT=auto|packed|planar  state table layout (default auto)
+  BENCH_PIPELINE=sorted     fully-fused sorted-slot pipeline
+  BENCH_CHUNK_ROWS          sorted-pipeline row chunk (default 2048)
+  BENCH_HOST_BATCHES=1      keep batches host-side (measure the h2d
+                            link in the step instead of device compute)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
   BENCH_STEPS, BENCH_SKIP_NUMPY
-  BENCH_BUDGET_S            child wall-clock cap     (default 540)
+  BENCH_BUDGET_S            child wall-clock cap     (default 900)
   BENCH_HEALTH_RETRIES      extra child attempts after a failure,
                             sleeping BENCH_HEALTH_SLEEP s between
                             (default 0 — opt-in; a wedged runtime can
@@ -76,17 +80,19 @@ def _store():
     from difacto_tpu.updaters.updater import FMUpdater
 
     kernel = os.environ.get("BENCH_KERNEL", "xla")
-    cfg = Config.from_kwargs(
-        [
-            ("batch_size", str(BATCH)),
-            ("num_bits", str(NUM_BITS)),
-            ("max_nnz_per_row", str(NNZ)),
-            ("V_dim", str(K)),
-            ("kernel", kernel),
-            ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
-            ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
-        ]
-    )
+    kwargs = [
+        ("batch_size", str(BATCH)),
+        ("num_bits", str(NUM_BITS)),
+        ("max_nnz_per_row", str(NNZ)),
+        ("V_dim", str(K)),
+        ("kernel", kernel),
+        ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
+        ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
+        ("chunk_rows", os.environ.get("BENCH_CHUNK_ROWS", "2048")),
+    ]
+    if os.environ.get("BENCH_PIPELINE"):
+        kwargs.append(("pipeline", os.environ["BENCH_PIPELINE"]))
+    cfg = Config.from_kwargs(kwargs)
     upd = FMUpdater(cfg.model)
     if os.environ.get("BENCH_STORE", "local") == "sharded":
         return ShardedStore(upd, cfg)
@@ -94,12 +100,11 @@ def _store():
 
 
 def bench_tpu() -> dict:
-    import dataclasses
-
-    import jax
-
-    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
+    from difacto_tpu.data.prep import (
+        prep_batch, prep_batch_sharded, prep_batch_sorted,
+    )
     from difacto_tpu.parallel.store import ShardedStore
+    from difacto_tpu.utils.place import place_batch
 
     store = _store()
     state = store.init_state(0)
@@ -111,30 +116,35 @@ def bench_tpu() -> dict:
     # the chip). BENCH_HOST_BATCHES=1 keeps host batches to measure the
     # tunnel-fed end-to-end rate.
     place = not os.environ.get("BENCH_HOST_BATCHES")
+    put = place_batch if place else (lambda pb: pb)
 
-    def put(pb):
-        if not place:
-            return pb
-        arrs = jax.device_put(
-            tuple(getattr(pb, f.name) for f in dataclasses.fields(pb)
-                  if isinstance(getattr(pb, f.name), np.ndarray))
-        )
-        it = iter(arrs)
-        return dataclasses.replace(
-            pb,
-            **{
-                f.name: next(it)
-                for f in dataclasses.fields(pb)
-                if isinstance(getattr(pb, f.name), np.ndarray)
-            },
-        )
-
-    if prep and isinstance(store, ShardedStore):
+    if os.environ.get("BENCH_PIPELINE") == "sorted":
+        cr = int(os.environ.get("BENCH_CHUNK_ROWS", 2048))
+        sbs = [
+            put(prep_batch_sorted(
+                b, 1 << NUM_BITS, store.block_rows, cr,
+                pair_metas=store.pairs,
+            ))
+            for b in batches
+        ]
+        ub = {s.sid.shape[0] for s in sbs}
+        step = lambda s, i: store.train_step_sorted(s, sbs[i % len(sbs)])
+    elif prep and isinstance(store, ShardedStore):
         pbs = [prep_batch_sharded(b, 1 << NUM_BITS, store.S) for b in batches]
         ub = {p.ub for p in pbs}
         step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     elif prep:
-        pbs = [put(prep_batch(b, 1 << NUM_BITS)) for b in batches]
+        def prep_one(b):
+            pb = prep_batch(b, 1 << NUM_BITS)
+            if store.pairs:
+                from difacto_tpu.ops.pair_sweep import build_pair_meta
+
+                pb.pair_meta = build_pair_meta(
+                    pb.uids, 1 << NUM_BITS, store.block_rows
+                )
+            return put(pb)
+
+        pbs = [prep_one(b) for b in batches]
         ub = {p.uids.shape[0] for p in pbs}
         step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     else:

@@ -78,6 +78,11 @@ class SortedBatch:
     labels: np.ndarray   # f32 [B]
     mask: np.ndarray     # f32 [B]
     chunk_rows: int
+    # kernel=pairs schedules (ops/pair_sweep.py), attached by the prep
+    # thread when the store runs pair kernels: pull is window-major,
+    # apply block-major (see build_pair_meta)
+    pair_pull: object = None
+    pair_apply: object = None
 
     @property
     def num_examples(self) -> int:
@@ -90,6 +95,7 @@ def prep_batch_sorted(
     block_rows: int,
     chunk_rows: int = 2048,
     stream_pad: int | None = None,
+    pair_metas: bool = False,
 ) -> SortedBatch:
     """``stream_pad`` sentinel slots terminate each stream so that every
     stream's slot count is a multiple of 1024 — the Mosaic dynamic-slice
@@ -124,9 +130,20 @@ def prep_batch_sorted(
         srow[po : po + q] = rows_global[sl][order]
         srow[po + q : po + qp] = c * chunk_rows  # pad slots: any row in chunk
         offsets[c] = po + np.searchsorted(cid, boundaries, side="left")
+    mp = ma = None
+    if pair_metas:
+        from ..ops.pair_sweep import build_pair_meta
+
+        mp = build_pair_meta(
+            sid, num_rows, block_rows, seg_len=qp, order="window"
+        )
+        ma = build_pair_meta(
+            sid, num_rows, block_rows, seg_len=qp, order="block"
+        )
     return SortedBatch(
         svals=svals, srow=srow, sid=sid, offsets=offsets,
         labels=batch.labels, mask=batch.mask, chunk_rows=chunk_rows,
+        pair_pull=mp, pair_apply=ma,
     )
 
 

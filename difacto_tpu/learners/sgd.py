@@ -103,7 +103,7 @@ class SGDLearner:
             else None
         )
         if cache_key is not None and cache_key in self._batch_cache:
-            return iter(self._batch_cache[cache_key])
+            return self._place_iter(iter(self._batch_cache[cache_key]))
         if cache_key is not None:
             # the cache fixes one batch order for every epoch (the
             # reference's DataStore reuses the same compacted batches too)
@@ -143,7 +143,10 @@ class SGDLearner:
 
             br = self.store.block_rows
             cr = self.cfg.shard.chunk_rows
-            fn = lambda b: prep_batch_sorted(b, num_rows, br, cr)
+            pm = getattr(self.store, "pairs", False)
+            fn = lambda b: prep_batch_sorted(
+                b, num_rows, br, cr, pair_metas=pm
+            )
         elif self._host_localize if localize is None else localize:
             from ..parallel.store import ShardedStore
 
@@ -211,8 +214,25 @@ class SGDLearner:
                     yield item
                 self._batch_cache[cache_key] = acc
 
-            return caching()
-        return out
+            return self._place_iter(caching())
+        return self._place_iter(out)
+
+    def _place_iter(self, it):
+        """Move batches to the device one step ahead of consumption
+        (single-device stores only; ShardedStore places per step with
+        mesh shardings). ``jax.device_put`` is async and the wrapping
+        prefetch thread runs ahead, so the host->device transfer of
+        batch t+1 overlaps device compute of batch t (the reference's
+        worker keeps minibatches in process RAM next to the compute;
+        measured here: a slow host link turns a 40 ms device-resident
+        step into a 136 ms host-fed one — BENCH.md round 2)."""
+        from ..parallel.store import LocalStore
+
+        if not isinstance(self.store, LocalStore):
+            return it
+        from ..utils.place import place_batch
+
+        return ThreadedIter(map(place_batch, it), depth=2)
 
     @staticmethod
     def _lockstep(it, make_empty):
@@ -357,9 +377,9 @@ class SGDLearner:
             if collected >= local_cap:
                 truncated = True
             else:
-                keep = batch.mask > 0
+                keep = np.asarray(batch.mask) > 0
                 pys.append(self._local_scores(py)[keep])
-                ys.append(batch.labels[keep])
+                ys.append(np.asarray(batch.labels)[keep])
                 collected += int(keep.sum())
         if acc is not None:
             self._fold(prog, acc)
@@ -441,7 +461,7 @@ class SGDLearner:
                     batch.ids, batch.vals, batch.labels, batch.mask
                 )
                 _, py = self.store.eval_step(self.state, *args)
-            keep = batch.mask > 0
+            keep = np.asarray(batch.mask) > 0
             pys.append(self._local_scores(py)[keep])
-            ys.append(batch.labels[keep])
+            ys.append(np.asarray(batch.labels)[keep])
         return np.concatenate(pys), np.concatenate(ys)

@@ -19,17 +19,35 @@ import numpy as np
 
 def place_batch(b):
     """Return a copy of a batch dataclass (Batch / PreppedBatch /
-    SortedBatch) with every NumPy array field device_put (async).
-    Non-array fields (pair metas, ints) pass through; already-placed
-    batches pass through unchanged."""
+    SortedBatch) with every NumPy array field device_put (async),
+    including arrays inside one level of nested dataclass fields
+    (pair metas). Non-array fields pass through; already-placed batches
+    pass through unchanged."""
     import jax
 
-    nd = {
-        f.name: getattr(b, f.name)
-        for f in dataclasses.fields(b)
-        if isinstance(getattr(b, f.name), np.ndarray)
-    }
-    if not nd:
+    keys: list[tuple[str, str | None]] = []
+    arrs: list[np.ndarray] = []
+    for f in dataclasses.fields(b):
+        v = getattr(b, f.name)
+        if isinstance(v, np.ndarray):
+            keys.append((f.name, None))
+            arrs.append(v)
+        elif dataclasses.is_dataclass(v) and not isinstance(v, type):
+            for g in dataclasses.fields(v):
+                w = getattr(v, g.name)
+                if isinstance(w, np.ndarray):
+                    keys.append((f.name, g.name))
+                    arrs.append(w)
+    if not arrs:
         return b
-    placed = jax.device_put(tuple(nd.values()))
-    return dataclasses.replace(b, **dict(zip(nd.keys(), placed)))
+    placed = jax.device_put(tuple(arrs))
+    top: dict[str, object] = {}
+    nested: dict[str, dict[str, object]] = {}
+    for (name, sub), a in zip(keys, placed):
+        if sub is None:
+            top[name] = a
+        else:
+            nested.setdefault(name, {})[sub] = a
+    for name, sub_updates in nested.items():
+        top[name] = dataclasses.replace(getattr(b, name), **sub_updates)
+    return dataclasses.replace(b, **top)

@@ -256,11 +256,18 @@ def test_cache_batches_matches_uncached_epoch0(data):
     pa = a.run()
     assert a._batch_cache  # populated
     assert pa.exact_auc is not None and pa.exact_auc > 0.6
-    # second epoch reused cached batches: iterating again returns the
-    # same objects
-    it1 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=0))
-    it2 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=1))
-    assert all(x is y for x, y in zip(it1, it2))
+    # second iteration serves from the cache (same underlying host
+    # arrays; device placement re-wraps them) — prove it by removing the
+    # source file: a cached replay must not re-parse
+    cached = next(iter(a._batch_cache.values()))
+    (data / "train.svm").rename(data / "train.svm.bak")
+    try:
+        it2 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=1))
+    finally:
+        (data / "train.svm.bak").rename(data / "train.svm")
+    assert len(it2) == len(cached)
+    for x, c in zip(it2, cached):
+        np.testing.assert_array_equal(np.asarray(x.uids), c.uids)
 
 
 def test_cache_batches_predict_order_not_shuffled(data):
