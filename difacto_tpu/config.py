@@ -67,7 +67,8 @@ class DataParam(ParamBase):
 
     data_in: str = ""              # training data URI (file, dir, or glob)
     data_val: str = ""             # validation data URI
-    data_format: str = "libsvm"    # libsvm | csr (our pre-converted binary)
+    data_format: str = "libsvm"    # libsvm | libffm (field:idx:val) |
+                                   # csr (our pre-converted binary)
     batch_size: int = 8192         # examples per device step (global batch)
     shuffle: bool = True           # shuffle batches within a file part
     num_parts_per_file: int = 1    # split each file into N parts (InputSplit)
@@ -111,8 +112,14 @@ class FMParam(ParamBase):
 
     tail_feature_filter: int = 0   # drop features with count < this (count pass)
 
+    num_fields: int = 0            # loss=ffm: explicit field count F for
+                                   # libffm `field:idx:val` data (fields
+                                   # parsed per slot); 0 = slot position
+                                   # is the field (F = max_nnz_per_row)
+
     def validate(self) -> None:
         assert self.V_dim >= 0
+        assert self.num_fields >= 0
         assert self.w_updater in ("ftrl", "adagrad", "sgd")
         assert self.V_updater in ("adagrad", "sgd")
 
@@ -178,13 +185,42 @@ class Config:
             rest = sub.init(rest)
         if rest:
             raise ValueError(f"unknown config keys: {[k for k, _ in rest]}")
+        cfg.check()
         return cfg
+
+    def check(self) -> None:
+        """Cross-param consistency (reference: difacto.cc fails fast on
+        inconsistent kwargs before the learner starts)."""
+        if self.model.num_fields > 0:
+            if self.learner.loss != "ffm":
+                raise ValueError("num_fields is only meaningful with loss=ffm")
+            if self.data.data_format != "libffm":
+                raise ValueError(
+                    "num_fields > 0 needs data_format=libffm "
+                    "(field:idx:val rows carry the field ids)"
+                )
+        if (
+            self.learner.loss == "ffm"
+            and self.data.data_format == "libffm"
+            and self.model.num_fields == 0
+        ):
+            raise ValueError(
+                "loss=ffm on libffm data needs num_fields=<field count> "
+                "(with num_fields=0 the slot position is the field, which "
+                "ignores the file's field ids)"
+            )
+
+    def expects_fields(self) -> bool:
+        """True when batches must carry explicit per-slot field ids."""
+        return self.learner.loss == "ffm" and self.model.num_fields > 0
 
     def effective_model_param(self) -> FMParam:
         """The FMParam the updater/table actually uses. For loss=ffm the
-        per-feature factor payload is F*k (F = max_nnz_per_row: slot
-        position is the field), stored in the same planar table."""
+        per-feature factor payload is F*k (F = num_fields when set —
+        libffm explicit fields — else max_nnz_per_row: slot position is
+        the field), stored in the same planar table."""
         p = dataclasses.replace(self.model)
         if self.learner.loss == "ffm":
-            p.V_dim = self.model.V_dim * self.data.max_nnz_per_row
+            F = self.model.num_fields or self.data.max_nnz_per_row
+            p.V_dim = self.model.V_dim * F
         return p

@@ -36,6 +36,8 @@ class Batch:
     vals: np.ndarray     # f32 [B, L]; 0 for padding slots
     labels: np.ndarray   # f32 [B] in {0, 1}
     mask: np.ndarray     # f32 [B]; 1 = real row, 0 = padding row
+    fields: np.ndarray | None = None  # i32 [B, L] libffm field per slot
+                                      # (0 on padding slots; vals==0 there)
 
     @property
     def batch_size(self) -> int:
@@ -87,6 +89,10 @@ def rowblock_to_batches(
         vals = np.zeros((batch_size, max_nnz), np.float32)
         labels = np.zeros(batch_size, np.float32)
         mask = np.zeros(batch_size, np.float32)
+        flds = (
+            np.zeros((batch_size, max_nnz), np.int32)
+            if blk.fields is not None else None
+        )
         # gather positions: row r contributes indptr[r] .. indptr[r]+lens[r]
         L = lens[rows]
         tot = int(L.sum())
@@ -96,9 +102,11 @@ def rowblock_to_batches(
             src = blk.indptr[rows][row_of] + within
             ids[row_of, within] = hashed[src]
             vals[row_of, within] = blk.values[src]
+            if flds is not None:
+                flds[row_of, within] = blk.fields[src]
         labels[:b] = (blk.labels[rows] > 0).astype(np.float32)
         mask[:b] = 1.0
-        yield Batch(ids, vals, labels, mask)
+        yield Batch(ids, vals, labels, mask, fields=flds)
 
 
 class BatchIter:
@@ -184,6 +192,13 @@ class BatchIter:
                     path, self.chunk_bytes, part, self.num_parts
                 ):
                     yield parse_libsvm(chunk)
+            elif self.data_format == "libffm":
+                from .libsvm import parse_libffm_numpy
+
+                for chunk in iter_file_chunks(
+                    path, self.chunk_bytes, part, self.num_parts
+                ):
+                    yield parse_libffm_numpy(chunk)
             elif self.data_format == "csr":
                 from .converter import load_csr_shard
 

@@ -23,12 +23,14 @@ import numpy as np
 
 @dataclass
 class RowBlock:
-    """Host CSR block (reference: dmlc::RowBlock<feaid_t>)."""
+    """Host CSR block (reference: dmlc::RowBlock<feaid_t>; the optional
+    ``fields`` array mirrors dmlc's RowBlock::field for libffm data)."""
 
     labels: np.ndarray   # f32 [n]  (raw labels as in file; 0/1 or -1/+1)
     indptr: np.ndarray   # i64 [n+1]
     indices: np.ndarray  # u64 [nnz] raw feature ids
     values: np.ndarray   # f32 [nnz]
+    fields: np.ndarray | None = None  # i32 [nnz] libffm field per feature
 
     @property
     def num_rows(self) -> int:
@@ -39,19 +41,12 @@ class RowBlock:
         return len(self.indices)
 
 
-def parse_libsvm_numpy(data: bytes) -> RowBlock:
-    """Vectorized libsvm parse. Supports 'label i:v i:v ...' lines; ignores
-    blank lines and '#' comments. Bare indices ('i' without ':v') mean
-    value 1.0, matching the dmlc parser and the C++ engine (dmlc-core
-    ``libsvm_parser.h`` semantics)."""
+def _tokenize(data: bytes):
+    """Shared vectorized tokenizer: returns (n_lines, label_tokens,
+    feat_tokens, feat_line_of) or None for empty input."""
     lines = [ln for ln in data.splitlines() if ln.strip() and not ln.lstrip().startswith(b"#")]
     if not lines:
-        return RowBlock(
-            np.zeros(0, np.float32),
-            np.zeros(1, np.int64),
-            np.zeros(0, np.uint64),
-            np.zeros(0, np.float32),
-        )
+        return None
     buf = b"\n".join(lines) + b"\n"
     arr = np.frombuffer(buf, np.uint8)
     # token starts: non-whitespace byte preceded by whitespace / buf start
@@ -68,18 +63,66 @@ def parse_libsvm_numpy(data: bytes) -> RowBlock:
     is_label = np.concatenate([[True], line_of[1:] != line_of[:-1]])
     if int(is_label.sum()) != len(lines):
         raise ValueError("malformed libsvm input (line without tokens)")
+    return len(lines), tokens[is_label], tokens[~is_label], line_of[~is_label]
+
+
+def _empty_block() -> RowBlock:
+    return RowBlock(
+        np.zeros(0, np.float32),
+        np.zeros(1, np.int64),
+        np.zeros(0, np.uint64),
+        np.zeros(0, np.float32),
+    )
+
+
+def parse_libsvm_numpy(data: bytes) -> RowBlock:
+    """Vectorized libsvm parse. Supports 'label i:v i:v ...' lines; ignores
+    blank lines and '#' comments. Bare indices ('i' without ':v') mean
+    value 1.0, matching the dmlc parser and the C++ engine (dmlc-core
+    ``libsvm_parser.h`` semantics)."""
+    tok = _tokenize(data)
+    if tok is None:
+        return _empty_block()
+    n_lines, label_tok, feat, line_of = tok
     try:
-        labels = tokens[is_label].astype(np.float32)
-        feat = tokens[~is_label]
+        labels = label_tok.astype(np.float32)
         # 'i:v' -> (i, ':', v); bare 'i' -> (i, '', '') => value 1.0
         part = np.char.partition(feat, b":")
         indices = part[:, 0].astype(np.uint64)
         values = np.where(part[:, 1] == b":", part[:, 2], b"1").astype(np.float32)
     except ValueError as e:
         raise ValueError(f"malformed libsvm input: {e}") from None
-    nnz = np.bincount(line_of[~is_label], minlength=len(lines)).astype(np.int64)
+    nnz = np.bincount(line_of, minlength=n_lines).astype(np.int64)
     indptr = np.concatenate([[0], np.cumsum(nnz)]).astype(np.int64)
     return RowBlock(labels, indptr, indices, values)
+
+
+def parse_libffm_numpy(data: bytes) -> RowBlock:
+    """Vectorized libffm parse: 'label f:i:v f:i:v ...' lines (the libffm
+    tool's format; dmlc-core reads it as RowBlock::field). 'f:i' without
+    the value means value 1.0. Returns a RowBlock with ``fields`` set."""
+    tok = _tokenize(data)
+    if tok is None:
+        blk = _empty_block()
+        blk.fields = np.zeros(0, np.int32)
+        return blk
+    n_lines, label_tok, feat, line_of = tok
+    try:
+        labels = label_tok.astype(np.float32)
+        p1 = np.char.partition(feat, b":")        # f | ':' | 'i:v'
+        if not bool((p1[:, 1] == b":").all()):
+            raise ValueError("feature token without ':' (need field:idx[:val])")
+        fields = p1[:, 0].astype(np.int64)
+        p2 = np.char.partition(p1[:, 2], b":")    # i | ':' | v
+        indices = p2[:, 0].astype(np.uint64)
+        values = np.where(p2[:, 1] == b":", p2[:, 2], b"1").astype(np.float32)
+    except ValueError as e:
+        raise ValueError(f"malformed libffm input: {e}") from None
+    if len(fields) and (fields.min() < 0):
+        raise ValueError("malformed libffm input: negative field id")
+    nnz = np.bincount(line_of, minlength=n_lines).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(nnz)]).astype(np.int64)
+    return RowBlock(labels, indptr, indices, values, fields.astype(np.int32))
 
 
 def parse_libsvm(data: bytes) -> RowBlock:

@@ -38,6 +38,7 @@ class PreppedBatch:
     inv: np.ndarray      # i32 [B*L] row-major slot -> unique lane
     valid: np.ndarray    # bool [Ub]
     pair_meta: object = None  # ops.pair_sweep.PairMeta when kernel=pairs
+    fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
 
     @property
     def num_examples(self) -> int:
@@ -201,6 +202,7 @@ def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedB
         ucounts=c_out,
         inv=inv.reshape(-1),
         valid=valid,
+        fields=batch.fields,
     )
 
 
@@ -229,6 +231,7 @@ class ShardPreppedBatch:
     dropped: np.ndarray  # f32 [S]        unique ids dropped by a fixed bucket
     ub: int
     num_shards: int
+    fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
 
     @property
     def num_examples(self) -> int:
@@ -280,4 +283,5 @@ def prep_batch_sharded(
         dropped=d_st,
         ub=ub,
         num_shards=num_shards,
+        fields=batch.fields,
     )

@@ -200,6 +200,12 @@ class SGDLearner:
                     np.zeros((d.batch_size // nproc, d.max_nnz_per_row), np.float32),
                     np.zeros(d.batch_size // nproc, np.float32),
                     np.zeros(d.batch_size // nproc, np.float32),
+                    fields=(
+                        np.zeros(
+                            (d.batch_size // nproc, d.max_nnz_per_row), np.int32
+                        )
+                        if d.data_format == "libffm" else None
+                    ),
                 )
                 return fn(b) if fn is not None else b
 
@@ -266,7 +272,9 @@ class SGDLearner:
         kFeaCount push pass enabling tail_feature_filter)."""
         n = 0
         for batch in self._iter(self.cfg.data.data_in, shuffle=False, localize=False):
-            args = self.store.shard_batch(batch.ids, batch.vals, batch.labels, batch.mask)
+            args = self.store.shard_batch(
+                batch.ids, batch.vals, batch.labels, batch.mask, batch.fields
+            )
             self.state = self.store.count_step(self.state, args[0])
             n += 1
         log.info("count pass done (%d batches)", n)
@@ -297,7 +305,8 @@ class SGDLearner:
                     )
                 else:
                     args = self.store.shard_batch(
-                        batch.ids, batch.vals, batch.labels, batch.mask
+                        batch.ids, batch.vals, batch.labels, batch.mask,
+                        batch.fields,
                     )
                     self.state, metrics = self.store.train_step(self.state, *args)
                 acc = metrics if acc is None else _merge_metrics(acc, metrics)
@@ -370,7 +379,8 @@ class SGDLearner:
                 metrics, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(
-                    batch.ids, batch.vals, batch.labels, batch.mask
+                    batch.ids, batch.vals, batch.labels, batch.mask,
+                    batch.fields,
                 )
                 metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
@@ -458,7 +468,8 @@ class SGDLearner:
                 _, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(
-                    batch.ids, batch.vals, batch.labels, batch.mask
+                    batch.ids, batch.vals, batch.labels, batch.mask,
+                    batch.fields,
                 )
                 _, py = self.store.eval_step(self.state, *args)
             keep = np.asarray(batch.mask) > 0

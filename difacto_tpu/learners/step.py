@@ -45,11 +45,14 @@ def worker_grads(
     labels: jnp.ndarray,   # f32 [B] in {0,1}
     mask: jnp.ndarray,     # f32 [B]
     loss: str = "fm",      # fm | ffm (fm with K=0 == logit)
+    fields: jnp.ndarray | None = None,  # i32 [B, L] libffm fields (ffm)
+    num_fields: int = 0,   # ffm field count F (0 = F = L, slot position)
 ) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
     """Compute per-unique-id aggregated gradients and batch metrics.
 
-    Returns (grads_u [U, 1+K], py [B], metrics). For ffm, K = F*k with
-    F == L (slot position is the field).
+    Returns (grads_u [U, 1+K], py [B], metrics). For ffm, K = F*k —
+    F = num_fields with explicit libffm ``fields``, else F = L (slot
+    position is the field).
     """
     B, L = vals.shape
     U, D = rows_u.shape
@@ -57,9 +60,10 @@ def worker_grads(
     rows = rows_u[loc.inv].reshape(B, L, D)
     W = rows[..., 0]
     if loss == "ffm":
-        assert K % L == 0, "ffm rows must be [U, 1 + L*k]"
-        V4 = rows[..., 1:].reshape(B, L, L, K // L)
-        fwd, g = ffm_loss_grad(vals, W, V4, labels, mask)
+        F = num_fields or L
+        assert K % F == 0, "ffm rows must be [U, 1 + F*k]"
+        V4 = rows[..., 1:].reshape(B, L, F, K // F)
+        fwd, g = ffm_loss_grad(vals, W, V4, labels, mask, fields=fields)
     else:
         V = rows[..., 1:]
         fwd, g = fm_loss_grad(vals, W, V, labels, mask)

@@ -102,31 +102,61 @@ def fm_loss_grad(
 def ffm_loss_grad(
     vals: jnp.ndarray,     # f32 [B, L]
     W: jnp.ndarray,        # f32 [B, L]
-    V4: jnp.ndarray,       # f32 [B, L, F, K] with F == L (slot position = field)
+    V4: jnp.ndarray,       # f32 [B, L, F, K]
     labels01: jnp.ndarray,
     mask: jnp.ndarray,
+    fields: jnp.ndarray | None = None,  # i32 [B, L] per-slot field id < F
 ) -> tuple[FMForward, FMGrads]:
     """Field-aware FM: py = <w,x> + sum_{i<j} x_i x_j <V_i[f_j], V_j[f_i]>.
 
     No reference counterpart file (difacto ships FM only; FFM is the
-    BASELINE.json stretch config). Fields are slot positions — exact for
-    fixed-schema CTR data (Criteo/Avazu style, one feature per field per
-    row); rows are padded/truncated to L slots so F == L statically.
+    BASELINE.json stretch config, matching the libffm model).
+
+    Two field sources:
+      * ``fields=None`` — slot position IS the field (F must equal L).
+        Exact for fixed-schema CTR data (Criteo/Avazu style, one feature
+        per field per row, written in field order);
+      * ``fields`` given — explicit per-slot field ids, as parsed from
+        ``field:idx:val`` libffm text (``data_format=libffm``). Supports
+        any slot order and several features per field. Padding slots must
+        carry vals == 0 (their field id is then irrelevant).
 
     Cost is O(B L^2 K) versus FM's O(B L K) — the classic FFM tradeoff;
     keep batch_size * L^2 * K sized to fit HBM.
     """
     B, L = vals.shape
-    K = V4.shape[-1]
+    F, K = V4.shape[2], V4.shape[3]
     linear = jnp.sum(vals * W, axis=-1)
-    # Vt[b, i, j] = V4[b, j, i]: the j-th feature's factor for field i
-    Vt = jnp.swapaxes(V4, 1, 2)
-    T = jnp.sum(V4 * Vt, axis=-1)                      # [B, L, L], symmetric
+    if fields is None:
+        assert F == L, "slot-position ffm needs F == L"
+        # A[b, i, j] = V_i[f_j] with f_j = j: just V4 itself
+        A = V4
+    else:
+        # A[b, i, j, k] = V4[b, i, fields[b, j], k] — feature i's factor
+        # for feature j's field
+        idx = jnp.clip(fields, 0, F - 1).astype(jnp.int32)
+        A = jnp.take_along_axis(
+            V4, jnp.broadcast_to(idx[:, None, :, None], (B, L, L, K)), axis=2
+        )
+    At = jnp.swapaxes(A, 1, 2)                         # At[b,i,j] = V_j[f_i]
+    T = jnp.sum(A * At, axis=-1)                       # [B, L, L], symmetric
     M = vals[:, :, None] * vals[:, None, :]            # [B, L, L]
     offdiag = 1.0 - jnp.eye(L, dtype=vals.dtype)
     py = linear + 0.5 * jnp.sum(M * T * offdiag, axis=(1, 2))
     d, loss, correct = logit_grad_coeff(py, labels01, mask)
     dW = vals * d[:, None]
-    dV4 = d[:, None, None, None] * (M * offdiag)[..., None] * Vt
+    # dL/dV4[b,i,f,k] = d * sum_{j != i, f_j == f} M[i,j] * A[b,j,i,k]
+    G = (d[:, None, None] * M * offdiag)[..., None] * At  # [B, L(i), L(j), K]
+    if fields is None:
+        dV4 = G
+    else:
+        # scatter G's j axis into the field axis: segment-sum over (b, f_j)
+        seg = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * F
+            + jnp.clip(fields, 0, F - 1).astype(jnp.int32)
+        ).reshape(-1)                                  # [B*L(j)]
+        Gj = jnp.swapaxes(G, 1, 2).reshape(B * L, L, K)  # leading axis = (b, j)
+        dV4 = jax.ops.segment_sum(Gj, seg, num_segments=B * F)
+        dV4 = jnp.swapaxes(dV4.reshape(B, F, L, K), 1, 2)  # [B, L(i), F, K]
     fwd = FMForward(py, jnp.zeros((B, 0), vals.dtype))
     return fwd, FMGrads(dW, dV4, loss, correct)

@@ -117,6 +117,9 @@ class LocalStore:
         self.layout = _resolve_layout(cfg, self.pallas or self.pairs)
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.loss = cfg.learner.loss
+        # libffm explicit fields: batches carry an i32 [B, L] field array
+        self.num_fields = cfg.model.num_fields
+        self.expects_fields = cfg.expects_fields()
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
         self._jit_prepped_step = jax.jit(self._prepped_step, donate_argnums=0)
@@ -141,7 +144,14 @@ class LocalStore:
             return jax.jit(pack_state)(placed)
         return placed
 
-    def shard_batch(self, ids, vals, labels, mask):
+    def shard_batch(self, ids, vals, labels, mask, fields=None):
+        if self.expects_fields:
+            if fields is None:
+                raise ValueError(
+                    "num_fields > 0 but this batch carries no field ids "
+                    "(use data_format=libffm)"
+                )
+            return ids, vals, labels, mask, fields
         return ids, vals, labels, mask
 
     def count_step(self, state, ids):
@@ -161,7 +171,7 @@ class LocalStore:
         dp = (1 + self.updater.param.V_dim + 7) // 8 * 8
         return self.pallas and dp * (u + 2048) * 4 <= (8 << 20)
 
-    def _pull_compute(self, state, ids, vals, labels, mask):
+    def _pull_compute(self, state, ids, vals, labels, mask, fields=None):
         loc = localize(ids, self.num_rows, self.unique_size)
         if self._use_sweep_pull(loc.uids.shape[0]):
             from ..ops.sweep import sweep_pull
@@ -173,15 +183,18 @@ class LocalStore:
         else:
             rows_u = self.updater.pull(state, loc.uids, loc.valid)
         grads_u, py, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         # distinct ids dropped by an undersized unique_size (counted, not
         # silent — see ops/localize.py)
         metrics = metrics._replace(dropped_ids=metrics.dropped_ids + loc.overflow)
         return loc, grads_u, py, metrics
 
-    def _step(self, state, ids, vals, labels, mask):
-        loc, grads_u, _, metrics = self._pull_compute(state, ids, vals, labels, mask)
+    def _step(self, state, ids, vals, labels, mask, fields=None):
+        loc, grads_u, _, metrics = self._pull_compute(
+            state, ids, vals, labels, mask, fields
+        )
         if self.pallas:
             from ..ops.sweep import sweep_apply
 
@@ -196,15 +209,18 @@ class LocalStore:
             )
         return state, metrics
 
-    def _eval(self, state, ids, vals, labels, mask):
-        _, _, py, metrics = self._pull_compute(state, ids, vals, labels, mask)
+    def _eval(self, state, ids, vals, labels, mask, fields=None):
+        _, _, py, metrics = self._pull_compute(
+            state, ids, vals, labels, mask, fields
+        )
         return metrics, py
 
     # -- host-localized path (data/prep.py): the Localizer ran on worker
     # CPUs in the reference too; skipping the on-device unique both saves
     # its cost and shrinks U to the batch's actual unique count ----------
 
-    def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+    def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts,
+                              inv, valid, fields=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         if self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
@@ -216,13 +232,15 @@ class LocalStore:
         else:
             rows_u = self.updater.pull(state, loc.uids, loc.valid)
         grads_u, py, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         return loc, grads_u, py, metrics
 
-    def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+    def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv,
+                      valid, fields=None):
         loc, grads_u, _, metrics = self._prepped_pull_compute(
-            state, vals, labels, mask, uids, ucounts, inv, valid
+            state, vals, labels, mask, uids, ucounts, inv, valid, fields
         )
         if self.pallas:
             from ..ops.sweep import sweep_apply
@@ -238,32 +256,52 @@ class LocalStore:
             )
         return state, metrics
 
-    def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv, valid):
+    def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv,
+                      valid, fields=None):
         _, _, py, metrics = self._prepped_pull_compute(
-            state, vals, labels, mask, uids, ucounts, inv, valid
+            state, vals, labels, mask, uids, ucounts, inv, valid, fields
         )
         return metrics, py
 
+    def _batch_fields(self, pb):
+        """The per-slot field array a step should see (None unless the
+        config declares explicit libffm fields)."""
+        if not self.expects_fields:
+            return None
+        f = getattr(pb, "fields", None)
+        if f is None:
+            raise ValueError(
+                "num_fields > 0 but this batch carries no field ids "
+                "(use data_format=libffm)"
+            )
+        return f
+
     def train_step_prepped(self, state, pb):
+        fields = self._batch_fields(pb)
         if self.pairs:
             m = self._pair_meta(pb)
             return self._jit_pairs_step(
                 state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
+                fields=fields,
             )
         return self._jit_prepped_step(
-            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
+            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+            pb.inv, pb.valid, fields=fields,
         )
 
     def eval_step_prepped(self, state, pb):
+        fields = self._batch_fields(pb)
         if self.pairs:
             m = self._pair_meta(pb)
             return self._jit_pairs_eval(
                 state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
+                fields=fields,
             )
         return self._jit_prepped_eval(
-            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv, pb.valid
+            state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+            pb.inv, pb.valid, fields=fields,
         )
 
     # -- pair-kernel path (ops/pair_sweep.py): Mosaic sweeps over only the
@@ -284,7 +322,7 @@ class LocalStore:
 
     def _pairs_pull_compute(
         self, state, vals, labels, mask, uids, ucounts, inv, valid,
-        blocks, wins, first, wfirst,
+        blocks, wins, first, wfirst, fields=None,
     ):
         from ..ops.pair_sweep import pull_pairs
 
@@ -298,19 +336,20 @@ class LocalStore:
         # valid mask zeroes them (pad slots index the junk lane ub-1)
         rows_u = jnp.where(valid[:, None], rows_p.T, 0.0)
         grads_u, py, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         return loc, grads_u, py, metrics
 
     def _pairs_step(
         self, state, vals, labels, mask, uids, ucounts, inv, valid,
-        blocks, wins, first, wfirst,
+        blocks, wins, first, wfirst, fields=None,
     ):
         from ..ops.pair_sweep import apply_pairs
 
         loc, grads_u, _, metrics = self._pairs_pull_compute(
             state, vals, labels, mask, uids, ucounts, inv, valid,
-            blocks, wins, first, wfirst,
+            blocks, wins, first, wfirst, fields,
         )
         vf = valid.astype(jnp.float32)
         payload = jnp.concatenate(
@@ -330,11 +369,11 @@ class LocalStore:
 
     def _pairs_eval(
         self, state, vals, labels, mask, uids, ucounts, inv, valid,
-        blocks, wins, first, wfirst,
+        blocks, wins, first, wfirst, fields=None,
     ):
         _, _, py, metrics = self._pairs_pull_compute(
             state, vals, labels, mask, uids, ucounts, inv, valid,
-            blocks, wins, first, wfirst,
+            blocks, wins, first, wfirst, fields,
         )
         return metrics, py
 
@@ -549,6 +588,11 @@ class ShardedStore:
         local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or local_nnz
         self.loss = cfg.learner.loss
+        # libffm explicit fields: when the config declares them, every
+        # step signature (and shard_map spec list) grows a trailing
+        # i32 [B, L] field array sharded like vals
+        self.num_fields = cfg.model.num_fields
+        self.expects_fields = cfg.expects_fields()
         # per-(src,dst) all_to_all slot capacity for the worst-case path
         # (the prepped path re-derives it from the actual unique bucket)
         self.capacity = self._capacity_for(self.unique_size)
@@ -564,6 +608,8 @@ class ShardedStore:
         else:
             state_spec = self._fmstate_spec
         batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
+        if self.expects_fields:
+            batch_specs += (P("shard", None),)  # fields [B, L]
         metrics_spec = StepMetrics(P(), P(), P(), P(), P(), P(), P())
         self._state_spec = state_spec
 
@@ -606,6 +652,8 @@ class ShardedStore:
             P("shard"),        # valid [S*ub]
             P("shard"),        # dropped [S]
         )
+        if self.expects_fields:
+            prepped_specs += (P("shard", None),)  # fields [B, L]
         self._prepped_specs = prepped_specs
         ptrain = jax.shard_map(
             self._prepped_step,
@@ -661,20 +709,34 @@ class ShardedStore:
             for a, s in zip(arrays, specs)
         )
 
-    def shard_batch(self, ids, vals, labels, mask):
+    def shard_batch(self, ids, vals, labels, mask, fields=None):
         specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
-        return self._place((ids, vals, labels, mask), specs)
+        arrays = (ids, vals, labels, mask)
+        if self.expects_fields:
+            if fields is None:
+                raise ValueError(
+                    "num_fields > 0 but this batch carries no field ids "
+                    "(use data_format=libffm)"
+                )
+            specs += (P("shard", None),)
+            arrays += (fields,)
+        return self._place(arrays, specs)
 
     def shard_prepped(self, pb):
         """Place a ShardPreppedBatch (data/prep.py) onto the mesh. In
         multi-process runs each process passes the prep of its LOCAL rows
         (stacked over its local devices) — prep must use a fixed bucket
         so all processes trace identical shapes."""
-        return self._place(
-            (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
-             pb.valid, pb.dropped),
-            self._prepped_specs,
-        )
+        arrays = (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
+                  pb.valid, pb.dropped)
+        if self.expects_fields:
+            if pb.fields is None:
+                raise ValueError(
+                    "num_fields > 0 but this batch carries no field ids "
+                    "(use data_format=libffm)"
+                )
+            arrays += (pb.fields,)
+        return self._place(arrays, self._prepped_specs)
 
     def train_step_prepped(self, state, pb):
         return self._jit_prepped_step(state, *self.shard_prepped(pb))
@@ -767,20 +829,22 @@ class ShardedStore:
         m = metrics._replace(dropped_ids=metrics.dropped_ids + dropped)
         return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), m)
 
-    def _step(self, state, ids, vals, labels, mask):
+    def _step(self, state, ids, vals, labels, mask, fields=None):
         loc = localize(ids, self.num_rows, self.unique_size)
         rows_u, ctx, dropped = self._pull(state, loc)
         grads_u, _, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         state = self._push(state, loc, grads_u, ctx)
         return state, self._psum_metrics(metrics, dropped + loc.overflow)
 
-    def _eval(self, state, ids, vals, labels, mask):
+    def _eval(self, state, ids, vals, labels, mask, fields=None):
         loc = localize(ids, self.num_rows, self.unique_size)
         rows_u, _, dropped = self._pull(state, loc)
         _, py, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         return self._psum_metrics(metrics, dropped + loc.overflow), py
 
@@ -789,21 +853,23 @@ class ShardedStore:
     # its own pre-deduplicated unique set and skips the on-device unique
 
     def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv,
-                      valid, dropped_prep):
+                      valid, dropped_prep, fields=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, ctx, dropped = self._pull(state, loc)
         grads_u, _, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         state = self._push(state, loc, grads_u, ctx)
         return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
 
     def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv,
-                      valid, dropped_prep):
+                      valid, dropped_prep, fields=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, _, dropped = self._pull(state, loc)
         _, py, metrics = worker_grads(
-            rows_u, loc, vals, labels, mask, loss=self.loss
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
         )
         return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
 
