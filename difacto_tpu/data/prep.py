@@ -232,10 +232,109 @@ class ShardPreppedBatch:
     ub: int
     num_shards: int
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
+    pair_metas: object = None  # ShardPairMetas when kernel=pairs
 
     @property
     def num_examples(self) -> int:
         return int(self.mask.sum())
+
+
+@dataclass
+class ShardPairMetas:
+    """Per-OWNER pair schedules for the ShardedStore's owner-side pair
+    kernels (ops/pair_sweep.py), built on the host from the per-shard
+    unique sets of a ShardPreppedBatch.
+
+    The host mirrors the device routing exactly (ShardedStore._routing:
+    ``owner = min(uid // rows_per_shard, S-1)``, per-owner buckets of
+    ``capacity`` slots, overflow truncated) to reconstruct, for every
+    owner device, the LOCAL-id stream it receives after the all_to_all:
+    S segments of ``capacity`` lanes, each segment sorted ascending with
+    trailing ``rows_per_shard`` sentinels. Pull metas are window-major
+    (the pull kernel's first-visit blend needs same-window pairs
+    consecutive across segments), apply metas block-major (the apply
+    kernel accumulates a block's pairs before its single fused optimizer
+    commit). All owners pad to one common pair count so the arrays stack
+    [S, P] and shard over the mesh with P('shard') specs.
+    """
+
+    pull_blocks: np.ndarray   # i32 [S, Pp]
+    pull_wins: np.ndarray     # i32 [S, Pp]
+    pull_wfirst: np.ndarray   # i32 [S, Pp]
+    apply_blocks: np.ndarray  # i32 [S, Pa]
+    apply_wins: np.ndarray    # i32 [S, Pa]
+    apply_first: np.ndarray   # i32 [S, Pa]
+    capacity: int
+    block_rows: int
+
+
+def _pad_pair_arrays(blocks: np.ndarray, wins: np.ndarray, P: int, sent_win: int):
+    """Pad one owner's (blocks, wins) to P pairs with no-op pairs (last
+    real block x all-sentinel window) and derive the run-start flags —
+    the same construction ops.pair_sweep.build_pair_meta uses."""
+    p0 = blocks.shape[0]
+    if p0 < P:
+        blocks = np.concatenate([blocks, np.full(P - p0, blocks[-1], np.int32)])
+        wins = np.concatenate([wins, np.full(P - p0, sent_win, np.int32)])
+    first = np.ones(P, np.int32)
+    first[1:] = blocks[1:] != blocks[:-1]
+    wfirst = np.ones(P, np.int32)
+    wfirst[1:] = wins[1:] != wins[:-1]
+    return blocks, wins, first, wfirst
+
+
+def build_shard_pair_metas(
+    pb: ShardPreppedBatch,
+    num_rows: int,
+    capacity: int,
+    block_rows: int,
+) -> ShardPairMetas:
+    """Owner-side pair schedules for one ShardPreppedBatch (see
+    ShardPairMetas). ``capacity`` must be the store's per-(src,dst)
+    all_to_all slot count for this batch's bucket
+    (ShardedStore.prepped_capacity), a multiple of 128."""
+    from ..ops.pair_sweep import W, build_pair_meta
+
+    S, ub, C = pb.num_shards, pb.ub, capacity
+    assert C % W == 0, "pair kernels need 128-lane-aligned capacity"
+    rows_per_shard = num_rows // S
+    uids = pb.uids.reshape(S, ub).astype(np.int64)
+    bounds = np.arange(S + 1, dtype=np.int64) * rows_per_shard
+    # streams[o] = owner o's post-all_to_all local-id stream
+    streams = np.full((S, S * C), rows_per_shard, np.int64)
+    for s in range(S):
+        u = uids[s]
+        n_valid = int(np.searchsorted(u, num_rows, side="left"))
+        lo = np.searchsorted(u[:n_valid], bounds, side="left")
+        for o in range(S):
+            cnt = min(int(lo[o + 1] - lo[o]), C)
+            streams[o, s * C : s * C + cnt] = (
+                u[lo[o] : lo[o] + cnt] - o * rows_per_shard
+            )
+    pulls, applies = [], []
+    for o in range(S):
+        pulls.append(build_pair_meta(
+            streams[o], rows_per_shard, block_rows, seg_len=C, order="window"
+        ))
+        applies.append(build_pair_meta(
+            streams[o], rows_per_shard, block_rows, seg_len=C, order="block"
+        ))
+    sent_win = (S * C) // W
+    Pp = max(m.blocks.shape[0] for m in pulls)
+    Pa = max(m.blocks.shape[0] for m in applies)
+    pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []
+    for o in range(S):
+        b, w, _, wf = _pad_pair_arrays(pulls[o].blocks, pulls[o].wins, Pp, sent_win)
+        pb_l.append(b); pw_l.append(w); pwf_l.append(wf)
+        b, w, f, _ = _pad_pair_arrays(applies[o].blocks, applies[o].wins, Pa, sent_win)
+        ab_l.append(b); aw_l.append(w); af_l.append(f)
+    return ShardPairMetas(
+        pull_blocks=np.stack(pb_l), pull_wins=np.stack(pw_l),
+        pull_wfirst=np.stack(pwf_l),
+        apply_blocks=np.stack(ab_l), apply_wins=np.stack(aw_l),
+        apply_first=np.stack(af_l),
+        capacity=C, block_rows=block_rows,
+    )
 
 
 def prep_batch_sharded(

@@ -158,9 +158,26 @@ class SGDLearner:
                 # identical shapes (overflow is counted, never silent)
                 n_local = jax.local_device_count()
                 fixed = self.store.unique_size if nproc > 1 else None
-                fn = lambda b: prep_batch_sharded(
-                    b, num_rows, n_local, fixed_ub=fixed
-                )
+                if getattr(self.store, "pairs", False):
+                    # kernel=pairs: build the per-owner pair schedules in
+                    # the prep workers too, overlapped with device steps
+                    from ..data.prep import build_shard_pair_metas
+
+                    store = self.store
+
+                    def fn(b):
+                        pb = prep_batch_sharded(
+                            b, num_rows, n_local, fixed_ub=fixed
+                        )
+                        pb.pair_metas = build_shard_pair_metas(
+                            pb, num_rows, store.prepped_capacity(pb.ub),
+                            store.block_rows,
+                        )
+                        return pb
+                else:
+                    fn = lambda b: prep_batch_sharded(
+                        b, num_rows, n_local, fixed_ub=fixed
+                    )
             else:
                 from ..data.prep import prep_batch
 

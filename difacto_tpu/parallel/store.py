@@ -571,16 +571,11 @@ class ShardedStore:
         assert self.num_rows % self.S == 0, "num_shards must divide table rows"
         self.rows_per_shard = self.num_rows // self.S
         kind = _kernel_kind(cfg)
-        if kind == "pairs":
-            raise ValueError(
-                "kernel=pairs currently needs store=local (the pair "
-                "schedule is built per global batch; per-shard pair "
-                "scheduling is not wired yet)"
-            )
         _check_backend(kind, interpret)
-        self.pallas = _use_pallas(cfg) or interpret
+        self.pairs = kind == "pairs"
+        self.pallas = _use_pallas(cfg) or (interpret and not self.pairs)
         self.interpret = interpret
-        self.layout = _resolve_layout(cfg, self.pallas)
+        self.layout = _resolve_layout(cfg, self.pallas or self.pairs)
         self.block_rows = min(cfg.shard.block_rows, self.rows_per_shard)
         assert cfg.data.batch_size % self.S == 0, (
             f"num_shards {self.S} must divide batch_size {cfg.data.batch_size}"
@@ -672,13 +667,51 @@ class ShardedStore:
         )
         self._jit_prepped_eval = jax.jit(peval)
 
+        if self.pairs:
+            # owner-side pair kernels: the prepped args gain six stacked
+            # [S, P] schedule arrays (pull block/window/window-first,
+            # apply block/window/block-first — data/prep.py ::
+            # build_shard_pair_metas), inserted between the base eight
+            # prepped arrays and the optional fields array
+            meta_specs = (P("shard", None),) * 6
+            pair_specs = prepped_specs[:8] + meta_specs + prepped_specs[8:]
+            pptrain = jax.shard_map(
+                self._prepped_pairs_step,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(state_spec,) + pair_specs,
+                out_specs=(state_spec, metrics_spec),
+            )
+            self._jit_prepped_pairs_step = jax.jit(pptrain, donate_argnums=0)
+            ppeval = jax.shard_map(
+                self._prepped_pairs_eval,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(state_spec,) + pair_specs,
+                out_specs=(metrics_spec, P("shard")),
+            )
+            self._jit_prepped_pairs_eval = jax.jit(ppeval)
+
     def _capacity_for(self, unique_lanes: int) -> int:
         """Per-(src,dst) all_to_all slot capacity for a given per-device
-        unique-lane count (ps-lite analog: the per-server request size)."""
+        unique-lane count (ps-lite analog: the per-server request size).
+        The pair kernels address the owner's receive stream in 128-lane
+        windows, so their capacity rounds up to that granularity (a
+        superset of slots — never drops more than the XLA path)."""
         perfect = (unique_lanes + self.S - 1) // self.S
-        return _round_up(
+        c = _round_up(
             max(int(perfect * self.cfg.shard.capacity_factor), 8), 8
         )
+        if self.pairs:
+            from ..ops.pair_sweep import W
+
+            c = _round_up(c, W)
+        return c
+
+    def prepped_capacity(self, ub: int) -> int:
+        """The all_to_all capacity the prepped path uses for bucket
+        ``ub`` — what host-built pair schedules must be sized to."""
+        return self._capacity_for(ub)
 
     # -- placement ----------------------------------------------------------
 
@@ -738,10 +771,42 @@ class ShardedStore:
             arrays += (pb.fields,)
         return self._place(arrays, self._prepped_specs)
 
+    def _pairs_prepped_args(self, pb):
+        """Prepped args + placed pair-schedule arrays (kernel=pairs)."""
+        if jax.process_count() > 1:
+            raise ValueError(
+                "kernel=pairs on a sharded store is single-process only: "
+                "owner-side pair schedules need every source's unique "
+                "bucket, but each process preps only its local rows "
+                "(use kernel=xla for multi-host runs)"
+            )
+        C = self._capacity_for(pb.ub)
+        m = getattr(pb, "pair_metas", None)
+        if m is None or m.block_rows != self.block_rows or m.capacity != C:
+            from ..data.prep import build_shard_pair_metas
+
+            m = build_shard_pair_metas(pb, self.num_rows, C, self.block_rows)
+            pb.pair_metas = m  # cached batches reuse the schedule
+        placed = self._place(
+            (m.pull_blocks, m.pull_wins, m.pull_wfirst,
+             m.apply_blocks, m.apply_wins, m.apply_first),
+            (P("shard", None),) * 6,
+        )
+        base = self.shard_prepped(pb)
+        return base[:8] + placed + base[8:]
+
     def train_step_prepped(self, state, pb):
+        if self.pairs:
+            return self._jit_prepped_pairs_step(
+                state, *self._pairs_prepped_args(pb)
+            )
         return self._jit_prepped_step(state, *self.shard_prepped(pb))
 
     def eval_step_prepped(self, state, pb):
+        if self.pairs:
+            return self._jit_prepped_pairs_eval(
+                state, *self._pairs_prepped_args(pb)
+            )
         return self._jit_prepped_eval(state, *self.shard_prepped(pb))
 
     # -- per-device program (runs inside shard_map) -------------------------
@@ -867,6 +932,114 @@ class ShardedStore:
                       valid, dropped_prep, fields=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, _, dropped = self._pull(state, loc)
+        _, py, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
+        )
+        return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
+
+    # -- owner-side pair kernels (ops/pair_sweep.py): the receive stream
+    # after the id all_to_all is segment-sorted (each source's bucket is a
+    # sorted slice of its sorted uniques), which is exactly the pair
+    # kernels' input contract — so the owner-side gather AND the owner-side
+    # dedup + scatter-add + optimizer (previously an on-device jnp.unique
+    # over S*C lanes, the sharded path's dominant cost) become Mosaic
+    # sweeps over only the (block, window) pairs the batch touches. The
+    # schedules ride in from the host (data/prep.py::build_shard_pair_metas)
+    # because the host already knows every shard's unique bucket.
+
+    def _pull_pairs(self, state, loc, meta):
+        from ..ops.pair_sweep import pull_pairs
+
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
+        D = 1 + self.updater.param.V_dim
+        pos, ok, dropped = self._routing(loc)
+        send_ids = (
+            jnp.full(S * C + 1, -1, jnp.int32)
+            .at[pos]
+            .set(jnp.where(ok, loc.uids, -1))[: S * C]
+        )
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(S, C), "shard", split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * C)
+        my_lo = jax.lax.axis_index("shard") * self.rows_per_shard
+        rvalid = recv_ids >= 0
+        # local ids, segment-sorted; empty slots carry the local sentinel
+        rl = jnp.where(rvalid, recv_ids - my_lo, self.rows_per_shard).astype(
+            jnp.int32
+        )
+        rows_p = pull_pairs(
+            state, rl, (meta[0], meta[1], None, meta[2]), self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )  # [D, S*C] planar; windows no pair visits are undefined -> mask
+        rows_local = jnp.where(rvalid[:, None], rows_p.T, 0.0)
+        rows_back = jax.lax.all_to_all(
+            rows_local.reshape(S, C * D), "shard", split_axis=0, concat_axis=0,
+            tiled=True,
+        ).reshape(S * C, D)
+        rows_u = jnp.where(
+            ok[:, None], rows_back[jnp.minimum(pos, S * C - 1)], 0.0
+        )
+        ctx = (pos, ok, rl, rvalid)
+        return rows_u, ctx, dropped
+
+    def _push_pairs(self, state, loc, grads_u, ctx):
+        from ..ops.pair_sweep import apply_pairs
+
+        S, C = self.S, self._capacity_for(loc.uids.shape[0])
+        D = grads_u.shape[1]
+        pos, ok, rl, rvalid, ab_, aw_, af_ = ctx
+        payload = jnp.concatenate([grads_u, loc.counts[:, None]], axis=1)
+        send = (
+            jnp.zeros((S * C + 1, D + 1), payload.dtype)
+            .at[pos]
+            .set(jnp.where(ok[:, None], payload, 0.0))[: S * C]
+        )
+        recv = jax.lax.all_to_all(
+            send.reshape(S, C * (D + 1)), "shard", split_axis=0, concat_axis=0,
+            tiled=True,
+        ).reshape(S * C, D + 1)
+        rf = rvalid.astype(jnp.float32)
+        # planar gw | gV | add_cnt | touch; a key requested by several
+        # sources spans several segments — the apply kernel aggregates all
+        # of a block's pairs before its one fused optimizer commit, so the
+        # key still updates exactly once with its total gradient
+        pay = jnp.concatenate(
+            [
+                recv[:, :D].T * rf[None, :],
+                (recv[:, D] * rf)[None, :],
+                rf[None, :],
+            ],
+            axis=0,
+        )
+        return apply_pairs(
+            state, rl, pay, (ab_, aw_, af_, None), self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+
+    def _prepped_pairs_step(self, state, vals, labels, mask, uids, ucounts,
+                            inv, valid, dropped_prep, pb_, pw_, pwf_,
+                            ab_, aw_, af_, fields=None):
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, ctx, dropped = self._pull_pairs(
+            state, loc, (pb_[0], pw_[0], pwf_[0])
+        )
+        grads_u, _, metrics = worker_grads(
+            rows_u, loc, vals, labels, mask, loss=self.loss,
+            fields=fields, num_fields=self.num_fields,
+        )
+        state = self._push_pairs(
+            state, loc, grads_u, ctx + (ab_[0], aw_[0], af_[0])
+        )
+        return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
+
+    def _prepped_pairs_eval(self, state, vals, labels, mask, uids, ucounts,
+                            inv, valid, dropped_prep, pb_, pw_, pwf_,
+                            ab_, aw_, af_, fields=None):
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, _, dropped = self._pull_pairs(
+            state, loc, (pb_[0], pw_[0], pwf_[0])
+        )
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
             fields=fields, num_fields=self.num_fields,

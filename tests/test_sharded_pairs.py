@@ -1,0 +1,109 @@
+"""Owner-side pair kernels in the ShardedStore (interpret mode, 8-device
+CPU mesh): the prepped pairs path must match the prepped XLA path
+multi-step — same final state, same metrics, same eval scores.
+
+This extends the seam-substitution pattern (SURVEY.md §4, reference
+StoreLocal vs StoreDist) to the kernel axis: LocalStore ≡ ShardedStore ≡
+pair-kernel paths are all pinned against each other."""
+
+import numpy as np
+import pytest
+
+from helpers import fm_leaves
+
+from difacto_tpu.config import Config
+from difacto_tpu.data.batch_iter import rowblock_to_batches
+from difacto_tpu.data.prep import build_shard_pair_metas, prep_batch_sharded
+from difacto_tpu.data.synthetic import make_ctr_data
+from difacto_tpu.parallel.store import ShardedStore
+from difacto_tpu.updaters.updater import FMUpdater
+
+BUCKETS = (512,)  # small fixed bucket: C = 128 on 8 shards (128-aligned)
+
+
+def _mk(V_dim, kernel, interpret, **kw):
+    kwargs = [
+        ("batch_size", "256"),
+        ("num_bits", "13"),
+        ("max_nnz_per_row", "16"),
+        ("V_dim", str(V_dim)),
+        ("kernel", kernel),
+    ] + [(k, str(v)) for k, v in kw.items()]
+    cfg = Config.from_kwargs(kwargs)
+    upd = FMUpdater(cfg.model)
+    return ShardedStore(upd, cfg, interpret=interpret)
+
+
+def _batches(n_rows=768, seed=3):
+    blk = make_ctr_data(n_rows, num_fields=12, vocab_per_field=500, seed=seed)
+    return list(rowblock_to_batches(blk, 256, 16, 13))
+
+
+@pytest.mark.parametrize("V_dim,extra", [
+    (4, {}),
+    (0, {}),
+    (2, {"tail_feature_filter": 2, "w_updater": "adagrad"}),
+])
+def test_sharded_pairs_matches_xla_train(V_dim, extra):
+    xla = _mk(V_dim, "xla", False, **extra)
+    prs = _mk(V_dim, "pairs", True, **extra)
+    assert prs.pairs and not xla.pairs
+    s1, s2 = xla.init_state(0), prs.init_state(0)
+    for b in _batches():
+        pb1 = prep_batch_sharded(b, xla.num_rows, xla.S, buckets=BUCKETS)
+        pb2 = prep_batch_sharded(b, prs.num_rows, prs.S, buckets=BUCKETS)
+        assert xla._capacity_for(pb1.ub) == prs._capacity_for(pb2.ub)
+        s1, m1 = xla.train_step_prepped(s1, pb1)
+        s2, m2 = prs.train_step_prepped(s2, pb2)
+        # built schedule is cached on the batch for reuse
+        assert pb2.pair_metas is not None
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        a = np.asarray(getattr(fm_leaves(s1), name))
+        b = np.asarray(getattr(fm_leaves(s2), name))
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(
+        float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-5
+    )
+    assert float(m1.dropped_ids) == float(m2.dropped_ids) == 0.0
+
+
+def test_sharded_pairs_matches_xla_eval():
+    xla = _mk(4, "xla", False)
+    prs = _mk(4, "pairs", True)
+    s1, s2 = xla.init_state(0), prs.init_state(0)
+    bs = _batches()
+    pb = prep_batch_sharded(bs[0], xla.num_rows, xla.S, buckets=BUCKETS)
+    s1, _ = xla.train_step_prepped(s1, pb)
+    s2, _ = prs.train_step_prepped(s2, pb)
+    for b in bs[1:]:
+        pb1 = prep_batch_sharded(b, xla.num_rows, xla.S, buckets=BUCKETS)
+        m1, py1 = xla.eval_step_prepped(s1, pb1)
+        m2, py2 = prs.eval_step_prepped(s2, pb1)
+        np.testing.assert_allclose(
+            np.asarray(py1), np.asarray(py2), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-5
+        )
+
+
+def test_prebuilt_metas_match_store_built():
+    """The prep-thread schedule (learner wiring) equals the store-built
+    one: a batch trained with pre-attached metas matches one without."""
+    a = _mk(4, "pairs", True)
+    b = _mk(4, "pairs", True)
+    s1, s2 = a.init_state(0), b.init_state(0)
+    for bb in _batches(512):
+        pb1 = prep_batch_sharded(bb, a.num_rows, a.S, buckets=BUCKETS)
+        pb2 = prep_batch_sharded(bb, b.num_rows, b.S, buckets=BUCKETS)
+        pb2.pair_metas = build_shard_pair_metas(
+            pb2, b.num_rows, b.prepped_capacity(pb2.ub), b.block_rows
+        )
+        s1, _ = a.train_step_prepped(s1, pb1)
+        s2, _ = b.train_step_prepped(s2, pb2)
+    for name in ("w", "V", "cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fm_leaves(s1), name)),
+            np.asarray(getattr(fm_leaves(s2), name)),
+            atol=1e-5, err_msg=name,
+        )
