@@ -259,6 +259,9 @@ def _run_child(budget_s: float) -> tuple[dict | None, str]:
 def main():
     import sys
 
+    from difacto_tpu.base import tune_malloc
+
+    tune_malloc()  # large host temporaries must not page-fault
     if "--device-run" in sys.argv:  # child: device work only
         if os.environ.get("BENCH_CPU"):  # harness testing without the TPU
             import jax

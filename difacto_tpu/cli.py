@@ -46,6 +46,9 @@ def create_learner(cfg: Config):
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .base import tune_malloc
+
+    tune_malloc()  # large ingest temporaries must not page-fault
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname).1s %(name)s] %(message)s",

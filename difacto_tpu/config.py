@@ -75,7 +75,9 @@ class DataParam(ParamBase):
     max_nnz_per_row: int = 64      # pad/truncate each example to this nnz
     num_bits: int = 22             # hashed feature space = 2**num_bits rows
     host_localize: bool = True     # dedup ids in the prefetch thread
-    prep_workers: int = 4          # threads for batch padding/dedup prep
+    prep_workers: int = 4          # threads for batch dedup/schedule prep
+    batch_workers: int = 2         # threads for shard hash+[B,L] padding
+                                   # (1 = serial; replays depend on it)
     cache_batches: bool = False    # keep epoch-0 prepped batches in RAM and
                                    # reuse them (reference DataStore: epochs
                                    # >1 skip parse+localize; fixes batch

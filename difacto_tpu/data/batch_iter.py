@@ -131,6 +131,7 @@ class BatchIter:
         chunk_bytes: int = 64 << 20,
         drop_remainder: bool = False,
         prefetch_blocks: int = 2,
+        batch_workers: int = 2,
     ):
         self.files = expand_uri(uri) if isinstance(uri, str) else list(uri)
         self.batch_size = batch_size
@@ -144,6 +145,7 @@ class BatchIter:
         self.chunk_bytes = chunk_bytes
         self.drop_remainder = drop_remainder
         self.prefetch_blocks = prefetch_blocks
+        self.batch_workers = batch_workers
         self._epoch = 0
 
     def __iter__(self) -> Iterator[Batch]:
@@ -156,6 +158,30 @@ class BatchIter:
         blocks: Iterator[RowBlock] = (
             blk for path in files for blk in self._blocks(path)
         )
+        if self.batch_workers > 1:
+            # parallel per-shard pipeline: loading/parsing runs in the
+            # producer thread, id-hashing + [B, L] padding fan out to a
+            # pool (each shard gets a deterministic RNG substream, so a
+            # given (seed, epoch, batch_workers) replays exactly) — one
+            # thread's ~210k ex/s hash+batchify otherwise caps the chip
+            from ..utils.prefetch import MappedPrefetchIter, ThreadedIter
+
+            def batchify(blk_seed):
+                blk, sub = blk_seed
+                return list(rowblock_to_batches(
+                    blk, self.batch_size, self.max_nnz, self.num_bits,
+                    shuffle=self.shuffle,
+                    rng=np.random.default_rng(sub),
+                    drop_remainder=self.drop_remainder,
+                ))
+
+            seeded = ((blk, int(rng.integers(2 ** 63))) for blk in blocks)
+            for lst in MappedPrefetchIter(
+                ThreadedIter(seeded, depth=max(self.prefetch_blocks, 1)),
+                batchify, workers=self.batch_workers,
+            ):
+                yield from lst
+            return
         if self.prefetch_blocks > 0:
             # double-buffer shard reads: the next shard loads/parses in a
             # background thread while this one is padded into batches —

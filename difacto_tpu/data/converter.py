@@ -107,10 +107,10 @@ def load_csr_shard(path: str, part_index: int = 0, num_parts: int = 1) -> RowBlo
         values = values[int(base) : int(indptr[hi])]
         indptr = indptr[lo : hi + 1] - base
     return RowBlock(
-        labels.astype(np.float32),
-        indptr.astype(np.int64),
-        indices.astype(np.uint64),
-        values.astype(np.float32),
+        labels.astype(np.float32, copy=False),
+        indptr.astype(np.int64, copy=False),
+        indices.astype(np.uint64, copy=False),
+        values.astype(np.float32, copy=False),
     )
 
 

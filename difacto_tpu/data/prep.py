@@ -14,11 +14,28 @@ payload) scales with that bucket.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import numpy as np
 
 from .batch_iter import Batch
+
+# per-thread id->lane scratch tables (see _localize_ids): a fresh
+# np.empty per batch costs ~45 ms in page faults at 2^22 rows; a reused
+# buffer costs ~4 ms. Thread-local because prep fans out to a worker
+# pool (utils/prefetch.py::MappedPrefetchIter).
+_TLS = threading.local()
+
+
+def _lut_for(num_rows: int) -> np.ndarray:
+    d = getattr(_TLS, "luts", None)
+    if d is None:
+        d = _TLS.luts = {}
+    lut = d.get(num_rows)
+    if lut is None:
+        lut = d[num_rows] = np.empty(num_rows + 1, np.int32)
+    return lut
 
 # unique-lane bucket ladder: actual unique count is padded up to one of
 # these (few distinct sizes => few jit specializations)
@@ -149,12 +166,32 @@ def prep_batch_sorted(
 
 
 def _localize_ids(ids: np.ndarray, num_rows: int):
-    """np.unique over one shard's padded ids (PAD_ID=-1 -> sentinel
-    num_rows, which sorts last). Returns (uids, inv, counts, has_sentinel,
-    n_real)."""
-    flat = ids.reshape(-1).astype(np.int64)
-    keys = np.where(flat < 0, num_rows, flat)
-    uids, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    """Dedup one shard's padded ids (PAD_ID=-1 -> sentinel num_rows,
+    which sorts last). Returns (uids, inv, counts, has_sentinel, n_real).
+
+    Implementation note (measured, flagship 655k-slot batch): numpy's
+    int32 ``np.sort`` is a radix sort (~2 ms) while ``np.unique``'s
+    argsort-based inverse costs ~85 ms — so the inverse is rebuilt from
+    a direct id->lane lookup table instead (9.6 ms total, 9x faster).
+    The table is ``np.empty`` (no zeroing; only touched pages
+    materialize), so even 2^26-row spaces stay cheap."""
+    flat = ids.reshape(-1)
+    if flat.dtype != np.int32:
+        flat = flat.astype(np.int32)
+    keys = np.where(flat < 0, np.int32(num_rows), flat)
+    if len(keys) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), False, 0)
+    sk = np.sort(keys)  # radix for int32
+    first = np.empty(len(sk), bool)
+    first[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    idx = np.flatnonzero(first)
+    uids = sk[idx]
+    counts = np.diff(np.append(idx, len(sk)))
+    lut = _lut_for(num_rows)
+    lut[uids] = np.arange(len(uids), dtype=np.int32)
+    inv = lut[keys]
     has_sentinel = bool(len(uids)) and uids[-1] == num_rows
     n_real = len(uids) - int(has_sentinel)
     return uids, inv, counts, has_sentinel, n_real
@@ -281,6 +318,24 @@ def _pad_pair_arrays(blocks: np.ndarray, wins: np.ndarray, P: int, sent_win: int
     wfirst = np.ones(P, np.int32)
     wfirst[1:] = wins[1:] != wins[:-1]
     return blocks, wins, first, wfirst
+
+
+def shard_bucket_fills(pb: ShardPreppedBatch, num_rows: int) -> np.ndarray:
+    """i64 [S, S] routing matrix: fills[src, owner] = how many of source
+    ``src``'s valid unique ids the device routing sends to ``owner``.
+    Lets the store pick the all_to_all capacity from the batch's ACTUAL
+    maximum bucket fill (zero drops, minimal stream) instead of a
+    worst-case capacity_factor guess."""
+    S, ub = pb.num_shards, pb.ub
+    rows_per_shard = num_rows // S
+    uids = pb.uids.reshape(S, ub).astype(np.int64)
+    bounds = np.arange(S + 1, dtype=np.int64) * rows_per_shard
+    fills = np.empty((S, S), np.int64)
+    for s in range(S):
+        n_valid = int(np.searchsorted(uids[s], num_rows, side="left"))
+        lo = np.searchsorted(uids[s][:n_valid], bounds, side="left")
+        fills[s] = lo[1:] - lo[:-1]
+    return fills
 
 
 def build_shard_pair_metas(

@@ -132,6 +132,7 @@ class SGDLearner:
             # epoch-dependent seed: each epoch must shuffle differently AND
             # a resumed run must reproduce the interrupted epoch's order
             seed=d.seed + epoch,
+            batch_workers=d.batch_workers,
         )
         src = iter(it)
         num_rows = 1 << d.num_bits
@@ -170,7 +171,7 @@ class SGDLearner:
                             b, num_rows, n_local, fixed_ub=fixed
                         )
                         pb.pair_metas = build_shard_pair_metas(
-                            pb, num_rows, store.prepped_capacity(pb.ub),
+                            pb, num_rows, store.pairs_capacity(pb),
                             store.block_rows,
                         )
                         return pb

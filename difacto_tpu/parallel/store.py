@@ -50,6 +50,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _cap_ladder(c: int) -> int:
+    """Round a capacity up a ~1.5x geometric ladder of 128-multiples so
+    per-batch capacities land on few distinct values (each distinct value
+    is one jit/Mosaic specialization)."""
+    v = 128
+    while v < c:
+        v = _round_up(int(v * 3 / 2), 128)
+    return v
+
+
 def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
     """packed = one [N, 4+2K] row table (ONE gather + ONE scatter per
     step, measured much faster under XLA); planar = split arrays with
@@ -667,30 +677,11 @@ class ShardedStore:
         )
         self._jit_prepped_eval = jax.jit(peval)
 
-        if self.pairs:
-            # owner-side pair kernels: the prepped args gain six stacked
-            # [S, P] schedule arrays (pull block/window/window-first,
-            # apply block/window/block-first — data/prep.py ::
-            # build_shard_pair_metas), inserted between the base eight
-            # prepped arrays and the optional fields array
-            meta_specs = (P("shard", None),) * 6
-            pair_specs = prepped_specs[:8] + meta_specs + prepped_specs[8:]
-            pptrain = jax.shard_map(
-                self._prepped_pairs_step,
-                mesh=self.mesh,
-                check_vma=False,
-                in_specs=(state_spec,) + pair_specs,
-                out_specs=(state_spec, metrics_spec),
-            )
-            self._jit_prepped_pairs_step = jax.jit(pptrain, donate_argnums=0)
-            ppeval = jax.shard_map(
-                self._prepped_pairs_eval,
-                mesh=self.mesh,
-                check_vma=False,
-                in_specs=(state_spec,) + pair_specs,
-                out_specs=(metrics_spec, P("shard")),
-            )
-            self._jit_prepped_pairs_eval = jax.jit(ppeval)
+        # owner-side pair kernels (kernel=pairs): jitted steps are built
+        # lazily per all_to_all capacity — the host picks the capacity
+        # from each batch's actual bucket fills (pairs_capacity)
+        self._metrics_spec = metrics_spec
+        self._pairs_jit_cache: dict[int, tuple] = {}
 
     def _capacity_for(self, unique_lanes: int) -> int:
         """Per-(src,dst) all_to_all slot capacity for a given per-device
@@ -708,10 +699,18 @@ class ShardedStore:
             c = _round_up(c, W)
         return c
 
-    def prepped_capacity(self, ub: int) -> int:
-        """The all_to_all capacity the prepped path uses for bucket
-        ``ub`` — what host-built pair schedules must be sized to."""
-        return self._capacity_for(ub)
+    def pairs_capacity(self, pb) -> int:
+        """The all_to_all capacity the pairs path uses for one prepped
+        batch: the batch's ACTUAL maximum (src, owner) bucket fill —
+        zero drops, minimal owner stream — rounded up a coarse ladder so
+        few distinct jit/Mosaic specializations exist. (The XLA path
+        instead sizes worst-case from capacity_factor; the host can do
+        better because it built the buckets.)"""
+        from ..data.prep import shard_bucket_fills
+        from ..ops.pair_sweep import W
+
+        fills = shard_bucket_fills(pb, self.num_rows)
+        return _cap_ladder(_round_up(max(int(fills.max()), 1), W))
 
     # -- placement ----------------------------------------------------------
 
@@ -771,8 +770,39 @@ class ShardedStore:
             arrays += (pb.fields,)
         return self._place(arrays, self._prepped_specs)
 
+    def _pairs_jits(self, C: int):
+        """(train, eval) jitted shard_maps for one capacity. The prepped
+        args gain six stacked [S, P] schedule arrays (pull block/window/
+        window-first, apply block/window/block-first — data/prep.py ::
+        build_shard_pair_metas), inserted between the base eight prepped
+        arrays and the optional fields array."""
+        e = self._pairs_jit_cache.get(C)
+        if e is None:
+            pair_specs = (
+                self._prepped_specs[:8]
+                + (P("shard", None),) * 6
+                + self._prepped_specs[8:]
+            )
+            step = jax.shard_map(
+                functools.partial(self._prepped_pairs_step, capacity=C),
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(self._state_spec,) + pair_specs,
+                out_specs=(self._state_spec, self._metrics_spec),
+            )
+            evalf = jax.shard_map(
+                functools.partial(self._prepped_pairs_eval, capacity=C),
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(self._state_spec,) + pair_specs,
+                out_specs=(self._metrics_spec, P("shard")),
+            )
+            e = (jax.jit(step, donate_argnums=0), jax.jit(evalf))
+            self._pairs_jit_cache[C] = e
+        return e
+
     def _pairs_prepped_args(self, pb):
-        """Prepped args + placed pair-schedule arrays (kernel=pairs)."""
+        """(capacity, prepped args + placed pair-schedule arrays)."""
         if jax.process_count() > 1:
             raise ValueError(
                 "kernel=pairs on a sharded store is single-process only: "
@@ -780,9 +810,9 @@ class ShardedStore:
                 "bucket, but each process preps only its local rows "
                 "(use kernel=xla for multi-host runs)"
             )
-        C = self._capacity_for(pb.ub)
         m = getattr(pb, "pair_metas", None)
-        if m is None or m.block_rows != self.block_rows or m.capacity != C:
+        if m is None or m.block_rows != self.block_rows:
+            C = self.pairs_capacity(pb)
             from ..data.prep import build_shard_pair_metas
 
             m = build_shard_pair_metas(pb, self.num_rows, C, self.block_rows)
@@ -793,27 +823,27 @@ class ShardedStore:
             (P("shard", None),) * 6,
         )
         base = self.shard_prepped(pb)
-        return base[:8] + placed + base[8:]
+        return m.capacity, base[:8] + placed + base[8:]
 
     def train_step_prepped(self, state, pb):
         if self.pairs:
-            return self._jit_prepped_pairs_step(
-                state, *self._pairs_prepped_args(pb)
-            )
+            C, args = self._pairs_prepped_args(pb)
+            return self._pairs_jits(C)[0](state, *args)
         return self._jit_prepped_step(state, *self.shard_prepped(pb))
 
     def eval_step_prepped(self, state, pb):
         if self.pairs:
-            return self._jit_prepped_pairs_eval(
-                state, *self._pairs_prepped_args(pb)
-            )
+            C, args = self._pairs_prepped_args(pb)
+            return self._pairs_jits(C)[1](state, *args)
         return self._jit_prepped_eval(state, *self.shard_prepped(pb))
 
     # -- per-device program (runs inside shard_map) -------------------------
 
-    def _routing(self, loc: Localized):
+    def _routing(self, loc: Localized, C: int | None = None):
         """Bucket the sorted local unique ids into per-owner capacity slots."""
-        S, C = self.S, self._capacity_for(loc.uids.shape[0])
+        S = self.S
+        if C is None:
+            C = self._capacity_for(loc.uids.shape[0])
         U = loc.uids.shape[0]
         owner = jnp.minimum(loc.uids // self.rows_per_shard, S - 1)
         # uids sorted ascending => owner non-decreasing => buckets contiguous
@@ -948,17 +978,48 @@ class ShardedStore:
     # schedules ride in from the host (data/prep.py::build_shard_pair_metas)
     # because the host already knows every shard's unique bucket.
 
-    def _pull_pairs(self, state, loc, meta):
+    def _gather_routing(self, loc: Localized, C: int):
+        """Gather-form routing for the pairs path: instead of scattering
+        each unique lane to its bucket slot (XLA scatter ~8 ns/elem), the
+        send buffer is a GATHER over the sorted unique lanes — slot
+        (o, j) reads lane start[o] + j (~2-3 ns/elem). Identical result;
+        the gather form also yields the ids-per-bucket counts."""
+        S = self.S
+        U = loc.uids.shape[0]
+        bnds = jnp.asarray(
+            np.arange(S + 1, dtype=np.int64) * self.rows_per_shard,
+            dtype=loc.uids.dtype,
+        )
+        st = jnp.searchsorted(loc.uids, bnds).astype(jnp.int32)
+        # st[S] = first sentinel lane (sentinel == num_rows == S * rps),
+        # so st[o+1]-st[o] counts only VALID lanes of bucket o
+        cnt = st[1:] - st[:-1]
+        t = jnp.arange(S * C, dtype=jnp.int32)
+        o = t // C
+        j = t - o * C
+        src = st[:-1][o] + j
+        take = j < cnt[o]
+        # unique lane -> bucket slot (for mapping pulled rows back)
+        lane = jnp.arange(U, dtype=jnp.int32)
+        owner = jnp.minimum(loc.uids // self.rows_per_shard, S - 1).astype(
+            jnp.int32
+        )
+        slot = lane - st[:-1][owner]
+        ok = loc.valid & (slot < C)
+        pos = jnp.where(ok, owner * C + slot, S * C - 1)
+        dropped = jnp.sum((loc.valid & ~ok).astype(jnp.float32))
+        return src, take, pos, ok, dropped
+
+    def _pull_pairs(self, state, loc, meta, C: int):
         from ..ops.pair_sweep import pull_pairs
 
-        S, C = self.S, self._capacity_for(loc.uids.shape[0])
+        S = self.S
+        U = loc.uids.shape[0]
         D = 1 + self.updater.param.V_dim
-        pos, ok, dropped = self._routing(loc)
-        send_ids = (
-            jnp.full(S * C + 1, -1, jnp.int32)
-            .at[pos]
-            .set(jnp.where(ok, loc.uids, -1))[: S * C]
-        )
+        src, take, pos, ok, dropped = self._gather_routing(loc, C)
+        send_ids = jnp.where(
+            take, loc.uids[jnp.minimum(src, U - 1)], -1
+        ).astype(jnp.int32)
         recv_ids = jax.lax.all_to_all(
             send_ids.reshape(S, C), "shard", split_axis=0, concat_axis=0, tiled=True
         ).reshape(S * C)
@@ -977,23 +1038,20 @@ class ShardedStore:
             rows_local.reshape(S, C * D), "shard", split_axis=0, concat_axis=0,
             tiled=True,
         ).reshape(S * C, D)
-        rows_u = jnp.where(
-            ok[:, None], rows_back[jnp.minimum(pos, S * C - 1)], 0.0
-        )
-        ctx = (pos, ok, rl, rvalid)
+        rows_u = jnp.where(ok[:, None], rows_back[pos], 0.0)
+        ctx = (src, take, rl, rvalid)
         return rows_u, ctx, dropped
 
-    def _push_pairs(self, state, loc, grads_u, ctx):
+    def _push_pairs(self, state, loc, grads_u, ctx, C: int):
         from ..ops.pair_sweep import apply_pairs
 
-        S, C = self.S, self._capacity_for(loc.uids.shape[0])
+        S = self.S
+        U = loc.uids.shape[0]
         D = grads_u.shape[1]
-        pos, ok, rl, rvalid, ab_, aw_, af_ = ctx
+        src, take, rl, rvalid, ab_, aw_, af_ = ctx
         payload = jnp.concatenate([grads_u, loc.counts[:, None]], axis=1)
-        send = (
-            jnp.zeros((S * C + 1, D + 1), payload.dtype)
-            .at[pos]
-            .set(jnp.where(ok[:, None], payload, 0.0))[: S * C]
+        send = jnp.where(
+            take[:, None], payload[jnp.minimum(src, U - 1)], 0.0
         )
         recv = jax.lax.all_to_all(
             send.reshape(S, C * (D + 1)), "shard", split_axis=0, concat_axis=0,
@@ -1019,26 +1077,26 @@ class ShardedStore:
 
     def _prepped_pairs_step(self, state, vals, labels, mask, uids, ucounts,
                             inv, valid, dropped_prep, pb_, pw_, pwf_,
-                            ab_, aw_, af_, fields=None):
+                            ab_, aw_, af_, fields=None, *, capacity):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, ctx, dropped = self._pull_pairs(
-            state, loc, (pb_[0], pw_[0], pwf_[0])
+            state, loc, (pb_[0], pw_[0], pwf_[0]), capacity
         )
         grads_u, _, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
             fields=fields, num_fields=self.num_fields,
         )
         state = self._push_pairs(
-            state, loc, grads_u, ctx + (ab_[0], aw_[0], af_[0])
+            state, loc, grads_u, ctx + (ab_[0], aw_[0], af_[0]), capacity
         )
         return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
 
     def _prepped_pairs_eval(self, state, vals, labels, mask, uids, ucounts,
                             inv, valid, dropped_prep, pb_, pw_, pwf_,
-                            ab_, aw_, af_, fields=None):
+                            ab_, aw_, af_, fields=None, *, capacity):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, _, dropped = self._pull_pairs(
-            state, loc, (pb_[0], pw_[0], pwf_[0])
+            state, loc, (pb_[0], pw_[0], pwf_[0]), capacity
         )
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,

@@ -52,7 +52,6 @@ def test_sharded_pairs_matches_xla_train(V_dim, extra):
     for b in _batches():
         pb1 = prep_batch_sharded(b, xla.num_rows, xla.S, buckets=BUCKETS)
         pb2 = prep_batch_sharded(b, prs.num_rows, prs.S, buckets=BUCKETS)
-        assert xla._capacity_for(pb1.ub) == prs._capacity_for(pb2.ub)
         s1, m1 = xla.train_step_prepped(s1, pb1)
         s2, m2 = prs.train_step_prepped(s2, pb2)
         # built schedule is cached on the batch for reuse
@@ -87,6 +86,47 @@ def test_sharded_pairs_matches_xla_eval():
         )
 
 
+def test_pairs_capacity_fits_skewed_batches():
+    """Host-chosen capacity = the batch's actual max bucket fill: a batch
+    whose ids ALL land in one shard's range (worst-case routing skew,
+    which a capacity_factor guess would drop from) trains with zero
+    drops and matches the single-device LocalStore result."""
+    from difacto_tpu.data.batch_iter import Batch
+    from difacto_tpu.data.prep import prep_batch
+    from difacto_tpu.parallel.store import LocalStore
+
+    prs = _mk(2, "pairs", True)
+    kwargs = [
+        ("batch_size", "256"), ("num_bits", "13"),
+        ("max_nnz_per_row", "16"), ("V_dim", "2"), ("kernel", "xla"),
+    ]
+    cfg = Config.from_kwargs(kwargs)
+    loc = LocalStore(FMUpdater(cfg.model), cfg)
+    rng = np.random.default_rng(11)
+    rows_per_shard = prs.num_rows // prs.S
+    s1, s2 = loc.init_state(0), prs.init_state(0)
+    for i in range(3):
+        ids = rng.integers(0, rows_per_shard, (256, 16)).astype(np.int32)
+        b = Batch(
+            ids, np.ones((256, 16), np.float32),
+            (rng.random(256) > 0.5).astype(np.float32),
+            np.ones(256, np.float32),
+        )
+        s1, m1 = loc.train_step_prepped(
+            s1, prep_batch(b, loc.num_rows, buckets=BUCKETS)
+        )
+        pb = prep_batch_sharded(b, prs.num_rows, prs.S, buckets=BUCKETS)
+        s2, m2 = prs.train_step_prepped(s2, pb)
+        assert float(m2.dropped_ids) == 0.0
+        # every id lives in shard 0's range -> one bucket carries the
+        # whole per-source unique set
+        assert pb.pair_metas.capacity >= 128
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        a = np.asarray(getattr(fm_leaves(s1), name))
+        b = np.asarray(getattr(fm_leaves(s2), name))
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
+
+
 def test_prebuilt_metas_match_store_built():
     """The prep-thread schedule (learner wiring) equals the store-built
     one: a batch trained with pre-attached metas matches one without."""
@@ -97,7 +137,7 @@ def test_prebuilt_metas_match_store_built():
         pb1 = prep_batch_sharded(bb, a.num_rows, a.S, buckets=BUCKETS)
         pb2 = prep_batch_sharded(bb, b.num_rows, b.S, buckets=BUCKETS)
         pb2.pair_metas = build_shard_pair_metas(
-            pb2, b.num_rows, b.prepped_capacity(pb2.ub), b.block_rows
+            pb2, b.num_rows, b.pairs_capacity(pb2), b.block_rows
         )
         s1, _ = a.train_step_prepped(s1, pb1)
         s2, _ = b.train_step_prepped(s2, pb2)
