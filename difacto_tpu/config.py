@@ -82,6 +82,10 @@ class DataParam(ParamBase):
                                    # reuse them (reference DataStore: epochs
                                    # >1 skip parse+localize; fixes batch
                                    # order across epochs like the reference)
+    cache_on_device: bool = False  # with cache_batches: cache the PLACED
+                                   # batches so later epochs read from HBM
+                                   # (skips the host->device link; the
+                                   # dataset's batches must fit on-chip)
     seed: int = 0
 
     def validate(self) -> None:

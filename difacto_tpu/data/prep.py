@@ -221,12 +221,22 @@ def _pack_localized(uids, inv, counts, has_sentinel, n_real, num_rows, ub):
     return u_out, c_out, inv, valid, dropped
 
 
-def prep_batch(batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS) -> PreppedBatch:
+def prep_batch(
+    batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS,
+    min_ub: int | None = None,
+) -> PreppedBatch:
     """np.unique localization of one padded batch (reference:
-    Localizer::Compact — sort, dedup, rewrite indices, count)."""
+    Localizer::Compact — sort, dedup, rewrite indices, count).
+
+    ``min_ub`` floors the unique bucket (config ``unique_size``): pinning
+    the bucket keeps every batch on ONE jit/Mosaic specialization — on
+    environments where kernel compiles are minutes, per-batch bucket
+    churn otherwise stalls the epoch. A rare larger batch still gets the
+    next bucket up (correctness first; one extra specialization)."""
     uids, inv, counts, has_sentinel, n_real = _localize_ids(batch.ids, num_rows)
     # the bucket must leave a junk lane for sentinel slots when present
-    ub = bucket_for(max(n_real + int(has_sentinel), 1), buckets)
+    need = max(n_real + int(has_sentinel), 1)
+    ub = max(bucket_for(need, buckets), min_ub or 0)
     u_out, c_out, inv, valid, dropped = _pack_localized(
         uids, inv, counts, has_sentinel, n_real, num_rows, ub
     )

@@ -103,7 +103,10 @@ class SGDLearner:
             else None
         )
         if cache_key is not None and cache_key in self._batch_cache:
-            return self._place_iter(iter(self._batch_cache[cache_key]))
+            placed, items = self._batch_cache[cache_key]
+            if placed:
+                return iter(items)  # already device-resident
+            return self._place_iter(iter(items))
         if cache_key is not None:
             # the cache fixes one batch order for every epoch (the
             # reference's DataStore reuses the same compacted batches too)
@@ -182,6 +185,11 @@ class SGDLearner:
             else:
                 from ..data.prep import prep_batch
 
+                # explicit unique_size floors the bucket: one jit/Mosaic
+                # specialization for the whole run instead of per-batch
+                # bucket churn (kernel compiles cost minutes on the
+                # remote compile service — BENCH.md)
+                min_ub = self.cfg.shard.unique_size or None
                 if getattr(self.store, "pairs", False):
                     # kernel=pairs: build the (block, window) pair schedule
                     # in the prep workers too, overlapped with device steps
@@ -190,11 +198,11 @@ class SGDLearner:
                     br = self.store.block_rows
 
                     def fn(b):
-                        pb = prep_batch(b, num_rows)
+                        pb = prep_batch(b, num_rows, min_ub=min_ub)
                         pb.pair_meta = build_pair_meta(pb.uids, num_rows, br)
                         return pb
                 else:
-                    fn = lambda b: prep_batch(b, num_rows)
+                    fn = lambda b: prep_batch(b, num_rows, min_ub=min_ub)
         if fn is not None and d.prep_workers > 1:
             from ..utils.prefetch import MappedPrefetchIter
 
@@ -230,29 +238,40 @@ class SGDLearner:
             out = self._lockstep(out, make_empty)
         if cache_key is not None:
             # fill the cache lazily so epoch 0 still streams (prep
-            # overlapped with device steps); complete at exhaustion
+            # overlapped with device steps); complete at exhaustion.
+            # cache_on_device caches the PLACED batches, so later epochs
+            # re-read from HBM instead of re-paying the host->device
+            # link (which caps this environment's tunneled chip at ~100k
+            # ex/s end-to-end); the dataset's batches must fit in HBM
+            place_first = d.cache_on_device and self._placing()
+            stream = self._place_iter(out) if place_first else out
+
             def caching():
                 acc = []
-                for item in out:
+                for item in stream:
                     acc.append(item)
                     yield item
-                self._batch_cache[cache_key] = acc
+                self._batch_cache[cache_key] = (place_first, acc)
 
-            return self._place_iter(caching())
+            return caching() if place_first else self._place_iter(caching())
         return self._place_iter(out)
 
-    def _place_iter(self, it):
-        """Move batches to the device one step ahead of consumption
-        (single-device stores only; ShardedStore places per step with
-        mesh shardings). ``jax.device_put`` is async and the wrapping
-        prefetch thread runs ahead, so the host->device transfer of
-        batch t+1 overlaps device compute of batch t (the reference's
-        worker keeps minibatches in process RAM next to the compute;
-        measured here: a slow host link turns a 40 ms device-resident
-        step into a 136 ms host-fed one — BENCH.md round 2)."""
+    def _placing(self) -> bool:
+        """Whether _place_iter actively places (single-device stores
+        only; ShardedStore places per step with mesh shardings)."""
         from ..parallel.store import LocalStore
 
-        if not isinstance(self.store, LocalStore):
+        return isinstance(self.store, LocalStore)
+
+    def _place_iter(self, it):
+        """Move batches to the device one step ahead of consumption.
+        ``jax.device_put`` is async and the wrapping prefetch thread
+        runs ahead, so the host->device transfer of batch t+1 overlaps
+        device compute of batch t (the reference's worker keeps
+        minibatches in process RAM next to the compute; measured here: a
+        slow host link turns a 40 ms device-resident step into a 136 ms
+        host-fed one — BENCH.md round 2)."""
+        if not self._placing():
             return it
         from ..utils.place import place_batch
 

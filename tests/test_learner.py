@@ -259,7 +259,7 @@ def test_cache_batches_matches_uncached_epoch0(data):
     # second iteration serves from the cache (same underlying host
     # arrays; device placement re-wraps them) — prove it by removing the
     # source file: a cached replay must not re-parse
-    cached = next(iter(a._batch_cache.values()))
+    _placed, cached = next(iter(a._batch_cache.values()))
     (data / "train.svm").rename(data / "train.svm.bak")
     try:
         it2 = list(a._iter(str(data / "train.svm"), shuffle=True, epoch=1))
@@ -268,6 +268,21 @@ def test_cache_batches_matches_uncached_epoch0(data):
     assert len(it2) == len(cached)
     for x, c in zip(it2, cached):
         np.testing.assert_array_equal(np.asarray(x.uids), c.uids)
+
+
+def test_cache_on_device_matches_host_cache(data):
+    """cache_on_device keeps placed batches; training must be identical
+    to the host-side cache (placement is numerically transparent)."""
+    a = SGDLearner(_cfg(data, max_num_epochs=3, store="local", cache_batches="true"))
+    b = SGDLearner(_cfg(
+        data, max_num_epochs=3, store="local",
+        cache_batches="true", cache_on_device="true",
+    ))
+    pa, pb = a.run(), b.run()
+    placed, _items = next(iter(b._batch_cache.values()))
+    assert placed
+    assert pa.exact_auc == pb.exact_auc
+    np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-6)
 
 
 def test_cache_batches_predict_order_not_shuffled(data):
