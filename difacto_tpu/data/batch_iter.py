@@ -50,16 +50,11 @@ class Batch:
 
 def expand_uri(uri: str) -> list[str]:
     """A data URI may be a file, a directory, or a glob (reference:
-    dmlc InputSplit accepts the same forms)."""
-    if os.path.isdir(uri):
-        return sorted(
-            os.path.join(uri, f) for f in os.listdir(uri)
-            if not f.startswith(".")
-        )
-    hits = sorted(_glob.glob(uri))
-    if not hits:
-        raise FileNotFoundError(f"no data files match {uri!r}")
-    return hits
+    dmlc InputSplit accepts the same forms), local or any fsspec
+    scheme (gs://, s3://, ... — data/io.py)."""
+    from .io import expand_uri as _expand
+
+    return _expand(uri)
 
 
 def rowblock_to_batches(

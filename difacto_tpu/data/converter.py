@@ -93,8 +93,12 @@ def convert_file(
 
 
 def load_csr_shard(path: str, part_index: int = 0, num_parts: int = 1) -> RowBlock:
-    """Load a binary CSR shard, optionally a row-range part of it."""
-    with np.load(path) as z:
+    """Load a binary CSR shard, optionally a row-range part of it.
+    Remote URIs stream through fsspec (data/io.py)."""
+    from .io import is_remote, open_uri
+
+    src = open_uri(path, "rb") if is_remote(path) else path
+    with np.load(src) as z:
         labels, indptr = z["labels"], z["indptr"]
         indices, values = z["indices"], z["values"]
     n = len(labels)

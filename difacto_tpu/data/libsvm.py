@@ -146,16 +146,20 @@ def iter_file_chunks(
     gzip via its stream layer too). Gzip is not byte-range seekable, so
     parts of a .gz file are line-aligned decompressed chunks dealt
     round-robin by chunk index — every part decompresses the stream but
-    parses only its share; with many files, prefer one part per file."""
-    import os
+    parses only its share; with many files, prefer one part per file.
+
+    Remote URIs (gs://, s3://, memory://, ...) stream through fsspec
+    (data/io.py — the dmlc-core IO-layer counterpart); fsspec file
+    objects are seekable, so the same byte-range logic applies."""
+    from .io import open_uri, uri_size
 
     if path.endswith(".gz"):
         yield from _iter_gzip_chunks(path, chunk_bytes, part_index, num_parts)
         return
-    size = os.path.getsize(path)
+    size = uri_size(path)
     lo = size * part_index // num_parts
     hi = size * (part_index + 1) // num_parts
-    with open(path, "rb") as f:
+    with open_uri(path, "rb") as f:
         # advance lo to the next line start (unless at file start)
         if lo > 0:
             f.seek(lo - 1)
@@ -189,9 +193,11 @@ def _iter_gzip_chunks(
     """Line-aligned chunks of a gzip stream, round-robin across parts."""
     import gzip
 
+    from .io import open_uri
+
     idx = 0
     carry = b""
-    with gzip.open(path, "rb") as f:
+    with open_uri(path, "rb") as raw, gzip.GzipFile(fileobj=raw) as f:
         while True:
             block = f.read(chunk_bytes)
             if not block:
