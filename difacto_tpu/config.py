@@ -164,6 +164,8 @@ class ShardParam(ParamBase):
     unique_size: int = 0           # 0 = batch_size*max_nnz (safe upper bound)
     kernel: str = "auto"           # xla | pallas (whole-table sweeps) |
                                    # pairs (touched-block sweeps) | auto
+                                   # (= pairs on single-process TPU with
+                                   # host_localize, else xla)
     layout: str = "auto"           # packed | planar | auto: packed = one
                                    # [N, 4+2K] row table (fastest under
                                    # XLA); planar = split w/z/n/cnt +

@@ -82,14 +82,22 @@ def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
 def _kernel_kind(cfg: Config) -> str:
     """xla | pallas (whole-table sweeps) | pairs (touched-block sweeps).
 
-    Measured on v5e (see bench.py/BENCH.md): inside one fused jitted
-    step, XLA's donated in-place scatter-update matches the whole-table
-    Pallas apply sweep at flagship shapes; the PAIR kernels
+    Measured on v5e (see bench.py/BENCH.md): the PAIR kernels
     (ops/pair_sweep.py) only touch the blocks the batch hits, so their
-    cost scales with the batch, not the table. auto currently means xla;
-    kernel=pairs/pallas opt in explicitly."""
+    cost scales with the batch, not the table — 23.1 ms/step vs the
+    fused XLA step's 39.4 at flagship shapes — so auto resolves to
+    pairs on the TPU backend. Exceptions keep auto on xla: non-TPU
+    backends (Mosaic kernels), multi-process runs (owner-side pair
+    schedules need every source's unique bucket on one host), and
+    host_localize=false (the pair schedule is host-built)."""
     kind = cfg.shard.kernel
     if kind == "auto":
+        if (
+            jax.default_backend() == "tpu"
+            and jax.process_count() == 1
+            and cfg.data.host_localize
+        ):
+            return "pairs"
         return "xla"
     if kind not in ("xla", "pallas", "pairs"):
         raise ValueError(f"unknown kernel {kind!r}")
