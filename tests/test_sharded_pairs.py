@@ -127,6 +127,41 @@ def test_pairs_capacity_fits_skewed_batches():
         np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
 
 
+def test_sharded_pairs_s1_matches_local_pairs():
+    """num_shards=1: the sharded store skips routing and must reproduce
+    the LocalStore pair path exactly (this is what a single-chip run of
+    store=sharded executes)."""
+    from difacto_tpu.data.prep import prep_batch
+    from difacto_tpu.parallel.store import LocalStore
+
+    prs = _mk(4, "pairs", True, num_shards=1)
+    assert prs.S == 1
+    kwargs = [
+        ("batch_size", "256"), ("num_bits", "13"),
+        ("max_nnz_per_row", "16"), ("V_dim", "4"), ("kernel", "pairs"),
+    ]
+    cfg = Config.from_kwargs(kwargs)
+    loc = LocalStore(FMUpdater(cfg.model), cfg, interpret=True)
+    s1, s2 = loc.init_state(0), prs.init_state(0)
+    for b in _batches(512):
+        # whole-batch unique sets are bigger than the per-shard BUCKETS
+        # ladder; the pair kernels need a 128-aligned bucket
+        s1, m1 = loc.train_step_prepped(
+            s1, prep_batch(b, loc.num_rows, buckets=(8192,))
+        )
+        pb = prep_batch_sharded(b, prs.num_rows, 1, buckets=(8192,))
+        s2, m2 = prs.train_step_prepped(s2, pb)
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fm_leaves(s1), name)),
+            np.asarray(getattr(fm_leaves(s2), name)),
+            atol=1e-5, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        float(m1.logloss_sum), float(m2.logloss_sum), rtol=1e-6
+    )
+
+
 def test_prebuilt_metas_match_store_built():
     """The prep-thread schedule (learner wiring) equals the store-built
     one: a batch trained with pre-attached metas matches one without."""
