@@ -75,6 +75,19 @@ def rowblock_to_batches(
         (rng or np.random.default_rng()).shuffle(order)
     hashed = hash_ids(blk.indices, num_bits)
     lens = np.minimum(np.diff(blk.indptr), max_nnz).astype(np.int64)
+    # uniform-row fast path (Criteo-style one-hot data: every row has
+    # the same nnz): the per-slot gather construction collapses to a
+    # reshape + row gather, ~4x cheaper on the host
+    L0 = int(lens[0]) if n else 0
+    uniform = (
+        L0 > 0
+        and L0 <= max_nnz
+        and bool((np.diff(blk.indptr) == L0).all())
+        and blk.fields is None
+    )
+    if uniform:
+        ids_all = hashed.reshape(n, L0)
+        vals_all = blk.values.reshape(n, L0)
     for lo in range(0, n, batch_size):
         rows = order[lo : lo + batch_size]
         b = len(rows)
@@ -89,6 +102,13 @@ def rowblock_to_batches(
             if blk.fields is not None else None
         )
         # gather positions: row r contributes indptr[r] .. indptr[r]+lens[r]
+        if uniform:
+            ids[:b, :L0] = ids_all[rows]
+            vals[:b, :L0] = vals_all[rows]
+            labels[:b] = (blk.labels[rows] > 0).astype(np.float32)
+            mask[:b] = 1.0
+            yield Batch(ids, vals, labels, mask, fields=None)
+            continue
         L = lens[rows]
         tot = int(L.sum())
         if tot:
