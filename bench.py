@@ -290,7 +290,9 @@ def main():
             file=sys.stderr, flush=True,
         )
         os.environ["BENCH_KERNEL"] = "xla"
-        r, err = _run_child(budget)
+        # the XLA path compiles in seconds; a tighter budget keeps total
+        # bench wall time bounded even after a full pairs-budget burn
+        r, err = _run_child(min(budget, 600))
     for _ in range(retries):
         if r is not None:
             break

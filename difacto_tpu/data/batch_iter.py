@@ -173,7 +173,7 @@ class BatchIter:
         blocks: Iterator[RowBlock] = (
             blk for path in files for blk in self._blocks(path)
         )
-        if self.batch_workers > 1:
+        if self.batch_workers > 1 and self.prefetch_blocks > 0:
             # parallel per-shard pipeline: loading/parsing runs in the
             # producer thread, id-hashing + [B, L] padding fan out to a
             # pool (each shard gets a deterministic RNG substream, so a
@@ -192,7 +192,7 @@ class BatchIter:
 
             seeded = ((blk, int(rng.integers(2 ** 63))) for blk in blocks)
             for lst in MappedPrefetchIter(
-                ThreadedIter(seeded, depth=max(self.prefetch_blocks, 1)),
+                ThreadedIter(seeded, depth=self.prefetch_blocks),
                 batchify, workers=self.batch_workers,
             ):
                 yield from lst

@@ -95,12 +95,19 @@ def convert_file(
 def load_csr_shard(path: str, part_index: int = 0, num_parts: int = 1) -> RowBlock:
     """Load a binary CSR shard, optionally a row-range part of it.
     Remote URIs stream through fsspec (data/io.py)."""
+    import contextlib
+
     from .io import is_remote, open_uri
 
-    src = open_uri(path, "rb") if is_remote(path) else path
-    with np.load(src) as z:
-        labels, indptr = z["labels"], z["indptr"]
-        indices, values = z["indices"], z["values"]
+    with contextlib.ExitStack() as stack:
+        src = path
+        if is_remote(path):
+            # np.load does not own (or close) an externally-passed file
+            # object — close the remote handle ourselves
+            src = stack.enter_context(open_uri(path, "rb"))
+        with np.load(src) as z:
+            labels, indptr = z["labels"], z["indptr"]
+            indices, values = z["indices"], z["values"]
     n = len(labels)
     lo = n * part_index // num_parts
     hi = n * (part_index + 1) // num_parts

@@ -86,10 +86,15 @@ def parse_libsvm_numpy(data: bytes) -> RowBlock:
     n_lines, label_tok, feat, line_of = tok
     try:
         labels = label_tok.astype(np.float32)
-        # 'i:v' -> (i, ':', v); bare 'i' -> (i, '', '') => value 1.0
-        part = np.char.partition(feat, b":")
-        indices = part[:, 0].astype(np.uint64)
-        values = np.where(part[:, 1] == b":", part[:, 2], b"1").astype(np.float32)
+        if feat.size == 0:
+            # all rows feature-less (legal: bias-only examples)
+            indices = np.zeros(0, np.uint64)
+            values = np.zeros(0, np.float32)
+        else:
+            # 'i:v' -> (i, ':', v); bare 'i' -> (i, '', '') => value 1.0
+            part = np.char.partition(feat, b":")
+            indices = part[:, 0].astype(np.uint64)
+            values = np.where(part[:, 1] == b":", part[:, 2], b"1").astype(np.float32)
     except ValueError as e:
         raise ValueError(f"malformed libsvm input: {e}") from None
     nnz = np.bincount(line_of, minlength=n_lines).astype(np.int64)
@@ -109,13 +114,18 @@ def parse_libffm_numpy(data: bytes) -> RowBlock:
     n_lines, label_tok, feat, line_of = tok
     try:
         labels = label_tok.astype(np.float32)
-        p1 = np.char.partition(feat, b":")        # f | ':' | 'i:v'
-        if not bool((p1[:, 1] == b":").all()):
-            raise ValueError("feature token without ':' (need field:idx[:val])")
-        fields = p1[:, 0].astype(np.int64)
-        p2 = np.char.partition(p1[:, 2], b":")    # i | ':' | v
-        indices = p2[:, 0].astype(np.uint64)
-        values = np.where(p2[:, 1] == b":", p2[:, 2], b"1").astype(np.float32)
+        if feat.size == 0:
+            fields = np.zeros(0, np.int64)
+            indices = np.zeros(0, np.uint64)
+            values = np.zeros(0, np.float32)
+        else:
+            p1 = np.char.partition(feat, b":")        # f | ':' | 'i:v'
+            if not bool((p1[:, 1] == b":").all()):
+                raise ValueError("feature token without ':' (need field:idx[:val])")
+            fields = p1[:, 0].astype(np.int64)
+            p2 = np.char.partition(p1[:, 2], b":")    # i | ':' | v
+            indices = p2[:, 0].astype(np.uint64)
+            values = np.where(p2[:, 1] == b":", p2[:, 2], b"1").astype(np.float32)
     except ValueError as e:
         raise ValueError(f"malformed libffm input: {e}") from None
     if len(fields) and (fields.min() < 0):

@@ -66,7 +66,9 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return n  # pathological: exact size (recompile)
+    # pathological: exact size (recompile); 128-aligned because the pair
+    # kernels address unique lanes in 128-wide windows
+    return (n + 127) // 128 * 128
 
 
 @dataclass
@@ -234,9 +236,11 @@ def prep_batch(
     churn otherwise stalls the epoch. A rare larger batch still gets the
     next bucket up (correctness first; one extra specialization)."""
     uids, inv, counts, has_sentinel, n_real = _localize_ids(batch.ids, num_rows)
-    # the bucket must leave a junk lane for sentinel slots when present
+    # the bucket must leave a junk lane for sentinel slots when present;
+    # the floor rounds up to the pair kernels' 128-lane window granule
     need = max(n_real + int(has_sentinel), 1)
-    ub = max(bucket_for(need, buckets), min_ub or 0)
+    floor = (min_ub + 127) // 128 * 128 if min_ub else 0
+    ub = max(bucket_for(need, buckets), floor)
     u_out, c_out, inv, valid, dropped = _pack_localized(
         uids, inv, counts, has_sentinel, n_real, num_rows, ub
     )

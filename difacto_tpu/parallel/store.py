@@ -50,6 +50,26 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _require_fields(fields, num_fields: int):
+    """Validate explicit libffm fields host-side: present, and in
+    [0, num_fields) — the loss clips field ids into range, so an
+    out-of-range id (num_fields set too small, or a malformed file)
+    would otherwise train a silently wrong model."""
+    if fields is None:
+        raise ValueError(
+            "num_fields > 0 but this batch carries no field ids "
+            "(use data_format=libffm)"
+        )
+    if isinstance(fields, np.ndarray) and fields.size:
+        fmax = int(fields.max())
+        if fmax >= num_fields:
+            raise ValueError(
+                f"libffm field id {fmax} out of range: num_fields="
+                f"{num_fields} (fields must be in [0, num_fields))"
+            )
+    return fields
+
+
 def _cap_ladder(c: int) -> int:
     """Round a capacity up a ~1.5x geometric ladder of 128-multiples so
     per-batch capacities land on few distinct values (each distinct value
@@ -164,12 +184,9 @@ class LocalStore:
 
     def shard_batch(self, ids, vals, labels, mask, fields=None):
         if self.expects_fields:
-            if fields is None:
-                raise ValueError(
-                    "num_fields > 0 but this batch carries no field ids "
-                    "(use data_format=libffm)"
-                )
-            return ids, vals, labels, mask, fields
+            return ids, vals, labels, mask, _require_fields(
+                fields, self.num_fields
+            )
         return ids, vals, labels, mask
 
     def count_step(self, state, ids):
@@ -286,13 +303,7 @@ class LocalStore:
         config declares explicit libffm fields)."""
         if not self.expects_fields:
             return None
-        f = getattr(pb, "fields", None)
-        if f is None:
-            raise ValueError(
-                "num_fields > 0 but this batch carries no field ids "
-                "(use data_format=libffm)"
-            )
-        return f
+        return _require_fields(getattr(pb, "fields", None), self.num_fields)
 
     def train_step_prepped(self, state, pb):
         fields = self._batch_fields(pb)
@@ -753,13 +764,8 @@ class ShardedStore:
         specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
         arrays = (ids, vals, labels, mask)
         if self.expects_fields:
-            if fields is None:
-                raise ValueError(
-                    "num_fields > 0 but this batch carries no field ids "
-                    "(use data_format=libffm)"
-                )
             specs += (P("shard", None),)
-            arrays += (fields,)
+            arrays += (_require_fields(fields, self.num_fields),)
         return self._place(arrays, specs)
 
     def _cached_place(self, pb, key, builder):
@@ -786,12 +792,7 @@ class ShardedStore:
         arrays = (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
                   pb.valid, pb.dropped)
         if self.expects_fields:
-            if pb.fields is None:
-                raise ValueError(
-                    "num_fields > 0 but this batch carries no field ids "
-                    "(use data_format=libffm)"
-                )
-            arrays += (pb.fields,)
+            arrays += (_require_fields(pb.fields, self.num_fields),)
         return self._cached_place(
             pb, "base", lambda: self._place(arrays, self._prepped_specs)
         )

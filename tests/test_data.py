@@ -256,3 +256,33 @@ def test_batchiter_reads_gzip(tmp_path):
         np.testing.assert_array_equal(x.ids, y.ids)
         np.testing.assert_array_equal(x.vals, y.vals)
         np.testing.assert_array_equal(x.labels, y.labels)
+
+
+def test_parse_feature_less_lines():
+    """Rows with a label but zero features are legal libsvm (bias-only
+    examples) and must parse to nnz=0 rows, not crash."""
+    from difacto_tpu.data.libsvm import parse_libffm_numpy, parse_libsvm_numpy
+
+    blk = parse_libsvm_numpy(b"1\n0\n")
+    assert blk.num_rows == 2 and blk.nnz == 0
+    blk = parse_libsvm_numpy(b"1 3:2.0\n0\n")
+    assert blk.num_rows == 2 and blk.nnz == 1
+    blk = parse_libffm_numpy(b"1\n0\n")
+    assert blk.num_rows == 2 and blk.nnz == 0 and blk.fields is not None
+
+
+def test_prep_min_ub_is_window_aligned():
+    """A unique_size floor that is not a multiple of 128 must round up
+    (the pair kernels address unique lanes in 128-wide windows)."""
+    import numpy as np
+
+    from difacto_tpu.data.batch_iter import Batch
+    from difacto_tpu.data.prep import prep_batch
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 4096, (64, 8)).astype(np.int32)
+    b = Batch(ids, np.ones((64, 8), np.float32),
+              np.zeros(64, np.float32), np.ones(64, np.float32))
+    pb = prep_batch(b, 8192, min_ub=100000)
+    assert pb.uids.shape[0] % 128 == 0
+    assert pb.uids.shape[0] >= 100000

@@ -205,3 +205,30 @@ def test_libffm_raw_path_matches_prepped(tmp_path):
     lb.run()
     py_b, _ = lb.predict(cfg_b.data.data_val)
     np.testing.assert_allclose(py_a, py_b, rtol=2e-4, atol=2e-4)
+
+
+def test_out_of_range_field_id_raises():
+    """Field ids >= num_fields would be silently clipped by the loss —
+    the store must reject them host-side instead."""
+    import numpy as np
+    import pytest
+
+    from difacto_tpu.config import Config
+    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.updaters.updater import FMUpdater
+
+    cfg = Config.from_kwargs([
+        ("batch_size", "32"), ("num_bits", "10"), ("max_nnz_per_row", "4"),
+        ("V_dim", "2"), ("loss", "ffm"), ("num_fields", "3"),
+        ("data_format", "libffm"),
+    ])
+    store = LocalStore(FMUpdater(cfg.effective_model_param()), cfg)
+    ids = np.zeros((32, 4), np.int32)
+    vals = np.ones((32, 4), np.float32)
+    labels = np.zeros(32, np.float32)
+    mask = np.ones(32, np.float32)
+    bad = np.full((32, 4), 7, np.int32)  # field 7 >= num_fields 3
+    with pytest.raises(ValueError, match="out of range"):
+        store.shard_batch(ids, vals, labels, mask, bad)
+    with pytest.raises(ValueError, match="no field ids"):
+        store.shard_batch(ids, vals, labels, mask, None)
