@@ -37,6 +37,8 @@ Variants (env vars):
                             link in the step instead of device compute)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
   BENCH_STEPS, BENCH_SKIP_NUMPY
+  BENCH_EVAL=1              measure the scoring (eval) path instead of
+                            training — the inference-throughput number
   BENCH_BUDGET_S            child wall-clock cap     (default 900)
   BENCH_HEALTH_RETRIES      extra child attempts after a failure,
                             sleeping BENCH_HEALTH_SLEEP s between
@@ -127,6 +129,7 @@ def bench_tpu() -> dict:
     place = not os.environ.get("BENCH_HOST_BATCHES")
     put = place_batch if place else (lambda pb: pb)
 
+    ev = bool(os.environ.get("BENCH_EVAL"))
     if os.environ.get("BENCH_PIPELINE") == "sorted":
         cr = int(os.environ.get("BENCH_CHUNK_ROWS", 2048))
         sbs = [
@@ -141,7 +144,10 @@ def bench_tpu() -> dict:
     elif prep and isinstance(store, ShardedStore):
         pbs = [prep_batch_sharded(b, 1 << NUM_BITS, store.S) for b in batches]
         ub = {p.ub for p in pbs}
-        step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
+        if ev:
+            step = lambda s, i: (s, store.eval_step_prepped(s, pbs[i % len(pbs)])[0])
+        else:
+            step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     elif prep:
         def prep_one(b):
             pb = prep_batch(b, 1 << NUM_BITS)
@@ -155,7 +161,10 @@ def bench_tpu() -> dict:
 
         pbs = [prep_one(b) for b in batches]
         ub = {p.uids.shape[0] for p in pbs}
-        step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
+        if ev:
+            step = lambda s, i: (s, store.eval_step_prepped(s, pbs[i % len(pbs)])[0])
+        else:
+            step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     else:
         ub = {BATCH * NNZ}
         dev = [
@@ -314,8 +323,9 @@ def main():
         )
         return
     eps_np = 1.0 if os.environ.get("BENCH_SKIP_NUMPY") else bench_numpy()
+    mode = "eval" if os.environ.get("BENCH_EVAL") else "train"
     out = {
-        "metric": "fm_k16_train_examples_per_sec",
+        "metric": f"fm_k16_{mode}_examples_per_sec",
         "value": round(r["examples_per_sec"], 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(r["examples_per_sec"] / eps_np, 2),
