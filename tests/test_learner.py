@@ -270,17 +270,23 @@ def test_cache_batches_matches_uncached_epoch0(data):
         np.testing.assert_array_equal(np.asarray(x.uids), c.uids)
 
 
-def test_cache_on_device_matches_host_cache(data):
-    """cache_on_device keeps placed batches; training must be identical
-    to the host-side cache (placement is numerically transparent)."""
-    a = SGDLearner(_cfg(data, max_num_epochs=3, store="local", cache_batches="true"))
+@pytest.mark.parametrize("store", ["local", "sharded"])
+def test_cache_on_device_matches_host_cache(data, store):
+    """cache_on_device keeps placed batches (LocalStore: placed Batch
+    dataclasses; ShardedStore: per-batch placed-arg cache); training
+    must be identical to the host-side cache."""
+    a = SGDLearner(_cfg(data, max_num_epochs=3, store=store, cache_batches="true"))
     b = SGDLearner(_cfg(
-        data, max_num_epochs=3, store="local",
+        data, max_num_epochs=3, store=store,
         cache_batches="true", cache_on_device="true",
     ))
     pa, pb = a.run(), b.run()
-    placed, _items = next(iter(b._batch_cache.values()))
-    assert placed
+    placed, items = next(iter(b._batch_cache.values()))
+    if store == "local":
+        assert placed  # learner caches the placed Batch dataclasses
+    else:
+        # sharded: the store caches placed args per batch
+        assert any(getattr(x, "_dev_cache", None) for x in items)
     assert pa.exact_auc == pb.exact_auc
     np.testing.assert_allclose(pa.logloss, pb.logloss, rtol=1e-6)
 
