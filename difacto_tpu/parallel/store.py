@@ -103,19 +103,29 @@ def _kernel_kind(cfg: Config) -> str:
     """xla | pallas (whole-table sweeps) | pairs (touched-block sweeps).
 
     Measured on v5e (see bench.py/BENCH.md): the PAIR kernels
-    (ops/pair_sweep.py) only touch the blocks the batch hits, so their
-    cost scales with the batch, not the table — 23.1 ms/step vs the
-    fused XLA step's 39.4 at flagship shapes — so auto resolves to
-    pairs on the TPU backend. Exceptions keep auto on xla: non-TPU
-    backends (Mosaic kernels), multi-process runs (owner-side pair
-    schedules need every source's unique bucket on one host), and
-    host_localize=false (the pair schedule is host-built)."""
+    (ops/pair_sweep.py) only touch the (block, window) pairs the batch
+    hits — 23.1 ms/step vs the fused XLA step's 39.4 at the flagship
+    2^22 table — so auto resolves to pairs on the TPU backend for
+    tables up to 2^23 rows. Beyond that the batch's uniques outnumber
+    the 1024-row blocks, pair count (grid steps) grows with the table,
+    and the XLA gather/scatter wins (2^24: 39.4 vs 56.9 ms; 2^26: 66.5
+    vs 125.6 — BENCH.md scaling table), so auto keeps xla there. Also
+    kept on xla: non-TPU backends (Mosaic kernels), multi-process runs
+    (owner-side pair schedules need every source's unique bucket on one
+    host), and host_localize=false (the schedule is host-built). On a
+    sharded mesh the threshold applies to the PER-SHARD table."""
     kind = cfg.shard.kernel
     if kind == "auto":
+        if cfg.shard.store == "local":
+            n_shards = 1
+        else:
+            n_shards = cfg.shard.num_shards or max(len(jax.devices()), 1)
+        rows_per_shard = (1 << cfg.data.num_bits) // max(n_shards, 1)
         if (
             jax.default_backend() == "tpu"
             and jax.process_count() == 1
             and cfg.data.host_localize
+            and rows_per_shard <= 1 << 23
         ):
             return "pairs"
         return "xla"
