@@ -22,6 +22,7 @@ Two layouts, chosen automatically by process count:
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import json
 import os
@@ -29,10 +30,39 @@ import os
 import jax
 import numpy as np
 
+from ..data.io import is_remote, open_uri
 from ..updaters.updater import FMState, PackedFMState, unpack_state
 
 FORMAT_VERSION = 1
 _LEAVES = ("w", "z", "n", "V", "nV", "cnt")
+
+
+# model_out/model_in accept remote URIs (gs://, s3://, ...) like data
+# URIs — the reference wrote models through the same dmlc::Stream layer
+# it read data with (data/io.py is our counterpart)
+
+
+def _write_npz(path: str, payload: dict) -> None:
+    if is_remote(path):
+        with open_uri(path, "wb") as f:
+            np.savez(f, **payload)
+    else:
+        np.savez(path, **payload)
+
+
+@contextlib.contextmanager
+def _open_npz(path: str):
+    if is_remote(path):
+        with open_uri(path, "rb") as f, np.load(f) as zf:
+            yield zf
+    else:
+        with np.load(path) as zf:
+            yield zf
+
+
+def _write_text(path: str, text: str) -> None:
+    with open_uri(path, "wb" if is_remote(path) else "w") as f:
+        f.write(text.encode() if is_remote(path) else text)
 
 
 def _index_key(name: str, index, shape) -> str:
@@ -50,14 +80,14 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
         # model trained packed loads into any store/layout (and the
         # inspection tools keep working)
         state = jax.jit(unpack_state)(state)
-    os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    if not is_remote(path_prefix):
+        os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}
     if jax.process_count() == 1:
         host = jax.device_get(state)
         npz = path_prefix + ".npz"
-        np.savez(npz, **{k: np.asarray(getattr(host, k)) for k in _LEAVES})
-        with open(path_prefix + ".meta.json", "w") as f:
-            json.dump(full_meta, f, indent=1)
+        _write_npz(npz, {k: np.asarray(getattr(host, k)) for k in _LEAVES})
+        _write_text(path_prefix + ".meta.json", json.dumps(full_meta, indent=1))
         return npz
     # multi-process: save addressable shards only (per-server semantics)
     pid = jax.process_index()
@@ -67,17 +97,22 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
         for s in arr.addressable_shards:
             payload[_index_key(name, s.index, arr.shape)] = np.asarray(s.data)
     npz = f"{path_prefix}.proc{pid}.npz"
-    np.savez(npz, **payload)
+    _write_npz(npz, payload)
     if pid == 0:
         full_meta["sharded"] = True
         full_meta["process_count"] = jax.process_count()
-        with open(path_prefix + ".meta.json", "w") as f:
-            json.dump(full_meta, f, indent=1)
+        _write_text(path_prefix + ".meta.json", json.dumps(full_meta, indent=1))
     return npz
 
 
 def _read_meta(path_prefix: str) -> dict:
     meta_path = path_prefix + ".meta.json"
+    if is_remote(meta_path):
+        try:
+            with open_uri(meta_path, "rb") as f:
+                return json.loads(f.read().decode())
+        except FileNotFoundError:
+            return {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             return json.load(f)
@@ -87,7 +122,7 @@ def _read_meta(path_prefix: str) -> dict:
 def load(path_prefix: str) -> tuple[FMState, dict]:
     """Single-host layout load (full arrays on host). For sharded
     checkpoints use :func:`load_for_store`."""
-    with np.load(path_prefix + ".npz") as zf:
+    with _open_npz(path_prefix + ".npz") as zf:
         state = FMState(**{k: zf[k] for k in _LEAVES})
     return state, _read_meta(path_prefix)
 
@@ -105,12 +140,17 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
         host_state, meta = load(path_prefix)
         return store.place_state(host_state), meta
 
-    files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
+    if is_remote(path_prefix):
+        from ..data.io import expand_uri
+
+        files = expand_uri(path_prefix + ".proc*.npz")
+    else:
+        files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
     if not files:
         raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
     available: dict[str, np.ndarray] = {}
     for fp in files:
-        with np.load(fp) as zf:
+        with _open_npz(fp) as zf:
             for k in zf.files:
                 available[k] = zf[k]
 

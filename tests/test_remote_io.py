@@ -104,3 +104,31 @@ def test_remote_csr_shard(corpus, tmp_path):
     c = load_csr_shard("memory://bucket/shard.npz", part_index=1, num_parts=2)
     n = len(a.labels)
     np.testing.assert_array_equal(c.labels, a.labels[n // 2:])
+
+
+def test_remote_checkpoint_roundtrip():
+    """model_out/model_in to object-store URIs: save + load round-trip
+    through memory:// exactly."""
+    import jax
+
+    from difacto_tpu.updaters.updater import FMState
+    from difacto_tpu.utils import checkpoint
+
+    rng = np.random.default_rng(4)
+    st = FMState(
+        w=rng.normal(size=64).astype(np.float32),
+        z=rng.normal(size=64).astype(np.float32),
+        n=rng.random(64).astype(np.float32),
+        V=rng.normal(size=(4, 64)).astype(np.float32),
+        nV=rng.random((4, 64)).astype(np.float32),
+        cnt=rng.integers(0, 5, 64).astype(np.float32),
+    )
+    prefix = "memory://bucket/ckpt/model"
+    out = checkpoint.save(prefix, jax.device_put(st), {"epoch": 2})
+    assert out.startswith("memory://")
+    loaded, meta = checkpoint.load(prefix)
+    assert meta["epoch"] == 2
+    for k in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            getattr(loaded, k), np.asarray(getattr(st, k)), err_msg=k
+        )
