@@ -97,7 +97,13 @@ def run_predict(cfg: Config) -> int:
     learner = SGDLearner(cfg)
     py, labels = learner.predict(cfg.data.data_in)
     if cfg.learner.pred_out:
-        np.savetxt(cfg.learner.pred_out, py, fmt="%.6g")
+        from .data.io import is_remote, open_uri
+
+        if is_remote(cfg.learner.pred_out):
+            with open_uri(cfg.learner.pred_out, "wb") as f:
+                np.savetxt(f, py, fmt="%.6g")
+        else:
+            np.savetxt(cfg.learner.pred_out, py, fmt="%.6g")
         logging.getLogger("difacto_tpu").info(
             "wrote %d scores to %s", len(py), cfg.learner.pred_out
         )
