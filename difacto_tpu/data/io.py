@@ -67,10 +67,13 @@ def expand_uri(uri: str) -> list[str]:
         return [f"{proto}://{n}" for n in sorted(names)]
     local = uri.removeprefix("file://")
     if os.path.isdir(local):
-        return sorted(
+        names = sorted(
             os.path.join(local, f) for f in os.listdir(local)
             if not f.startswith(".")
         )
+        if not names:
+            raise FileNotFoundError(f"no data files in directory {uri!r}")
+        return names
     hits = sorted(_glob.glob(local))
     if not hits:
         raise FileNotFoundError(f"no data files match {uri!r}")

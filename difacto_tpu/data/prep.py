@@ -28,6 +28,14 @@ from .batch_iter import Batch
 _TLS = threading.local()
 
 
+# direct id->lane LUTs are capped: beyond 2^24 rows a per-thread table
+# would cost 4 B x rows x prep_workers of address space (4 GB/thread at
+# the allowed num_bits=30) with epoch-long unique coverage touching ever
+# more pages — above the cap the inverse falls back to a searchsorted
+# over the batch's own sorted uniques (memory O(batch), ~2x slower)
+_LUT_MAX_ROWS = 1 << 24
+
+
 def _lut_for(num_rows: int) -> np.ndarray:
     d = getattr(_TLS, "luts", None)
     if d is None:
@@ -36,6 +44,28 @@ def _lut_for(num_rows: int) -> np.ndarray:
     if lut is None:
         lut = d[num_rows] = np.empty(num_rows + 1, np.int32)
     return lut
+
+
+def validate_fields(fields: np.ndarray | None, num_fields: int) -> None:
+    """Host-side libffm field-range check (the loss clips field ids into
+    range, so an out-of-range id — num_fields set too small, or a
+    malformed file — would otherwise train a silently wrong model). Runs
+    here, where fields are still host numpy: the prepped fast paths
+    device-place batches before the store ever sees them."""
+    if num_fields <= 0:
+        return
+    if fields is None:
+        raise ValueError(
+            "num_fields > 0 but this batch carries no field ids "
+            "(use data_format=libffm)"
+        )
+    if isinstance(fields, np.ndarray) and fields.size:
+        fmax = int(fields.max())
+        if fmax >= num_fields:
+            raise ValueError(
+                f"libffm field id {fmax} out of range: num_fields="
+                f"{num_fields} (fields must be in [0, num_fields))"
+            )
 
 # unique-lane bucket ladder: actual unique count is padded up to one of
 # these (few distinct sizes => few jit specializations)
@@ -191,9 +221,12 @@ def _localize_ids(ids: np.ndarray, num_rows: int):
     idx = np.flatnonzero(first)
     uids = sk[idx]
     counts = np.diff(np.append(idx, len(sk)))
-    lut = _lut_for(num_rows)
-    lut[uids] = np.arange(len(uids), dtype=np.int32)
-    inv = lut[keys]
+    if num_rows <= _LUT_MAX_ROWS:
+        lut = _lut_for(num_rows)
+        lut[uids] = np.arange(len(uids), dtype=np.int32)
+        inv = lut[keys]
+    else:
+        inv = np.searchsorted(uids, keys).astype(np.int32)
     has_sentinel = bool(len(uids)) and uids[-1] == num_rows
     n_real = len(uids) - int(has_sentinel)
     return uids, inv, counts, has_sentinel, n_real
@@ -225,7 +258,7 @@ def _pack_localized(uids, inv, counts, has_sentinel, n_real, num_rows, ub):
 
 def prep_batch(
     batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS,
-    min_ub: int | None = None,
+    min_ub: int | None = None, num_fields: int = 0,
 ) -> PreppedBatch:
     """np.unique localization of one padded batch (reference:
     Localizer::Compact — sort, dedup, rewrite indices, count).
@@ -234,7 +267,11 @@ def prep_batch(
     the bucket keeps every batch on ONE jit/Mosaic specialization — on
     environments where kernel compiles are minutes, per-batch bucket
     churn otherwise stalls the epoch. A rare larger batch still gets the
-    next bucket up (correctness first; one extra specialization)."""
+    next bucket up (correctness first; one extra specialization).
+
+    ``num_fields`` > 0 validates explicit libffm field ids host-side
+    (the last point where they are still numpy on the prepped path)."""
+    validate_fields(batch.fields, num_fields)
     uids, inv, counts, has_sentinel, n_real = _localize_ids(batch.ids, num_rows)
     # the bucket must leave a junk lane for sentinel slots when present;
     # the floor rounds up to the pair kernels' 128-lane window granule
@@ -425,6 +462,7 @@ def prep_batch_sharded(
     num_shards: int,
     buckets=DEFAULT_BUCKETS,
     fixed_ub: int | None = None,
+    num_fields: int = 0,
 ) -> ShardPreppedBatch:
     """Per-shard host localization (see ShardPreppedBatch).
 
@@ -432,6 +470,7 @@ def prep_batch_sharded(
     where every process preps its local rows independently but all
     processes must trace identical shapes (dropped ids are counted in
     ``dropped`` and surface as metrics.dropped_ids)."""
+    validate_fields(batch.fields, num_fields)
     b, l = batch.ids.shape
     assert b % num_shards == 0, "num_shards must divide the batch rows"
     bs = b // num_shards

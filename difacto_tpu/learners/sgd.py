@@ -43,6 +43,42 @@ def _merge_metrics(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
+class _Reservoir:
+    """Uniform reservoir sample of (label, score) pairs (Vitter's
+    Algorithm R, vectorized per batch: item ``i`` (0-based global index)
+    is accepted with probability cap/(i+1) into a uniform slot — each
+    item's decision is independent of the others', so a whole batch's
+    draws vectorize). Until the cap is reached it is an exact copy."""
+
+    def __init__(self, cap: int, seed: int):
+        self.cap = cap
+        self.n_seen = 0
+        self.truncated = False
+        self._rng = np.random.default_rng((seed + 1) * 0x9E3779B9)
+        self._y = np.empty(cap, np.float32)
+        self._p = np.empty(cap, np.float32)
+
+    def add(self, y: np.ndarray, p: np.ndarray) -> None:
+        k = len(y)
+        fill = min(max(self.cap - self.n_seen, 0), k)
+        if fill:
+            self._y[self.n_seen : self.n_seen + fill] = y[:fill]
+            self._p[self.n_seen : self.n_seen + fill] = p[:fill]
+        if fill < k:
+            self.truncated = True
+            idx = self.n_seen + fill + np.arange(k - fill, dtype=np.int64)
+            accept = self._rng.random(k - fill) < self.cap / (idx + 1)
+            slots = self._rng.integers(0, self.cap, size=k - fill)
+            sel = np.flatnonzero(accept)
+            self._y[slots[sel]] = y[fill:][sel]
+            self._p[slots[sel]] = p[fill:][sel]
+        self.n_seen += k
+
+    def sample(self) -> tuple[np.ndarray, np.ndarray]:
+        n = min(self.n_seen, self.cap)
+        return self._y[:n], self._p[:n]
+
+
 class SGDLearner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -139,6 +175,10 @@ class SGDLearner:
         )
         src = iter(it)
         num_rows = 1 << d.num_bits
+        # libffm field ids are range-checked during prep, while still
+        # host numpy (the prepped paths device-place batches before the
+        # store's own validation would see them)
+        nf = self.cfg.model.num_fields if self.cfg.expects_fields() else 0
         fn = None
         if localize is False:
             pass
@@ -171,7 +211,8 @@ class SGDLearner:
 
                     def fn(b):
                         pb = prep_batch_sharded(
-                            b, num_rows, n_local, fixed_ub=fixed
+                            b, num_rows, n_local, fixed_ub=fixed,
+                            num_fields=nf,
                         )
                         pb.pair_metas = build_shard_pair_metas(
                             pb, num_rows, store.pairs_capacity(pb),
@@ -180,7 +221,7 @@ class SGDLearner:
                         return pb
                 else:
                     fn = lambda b: prep_batch_sharded(
-                        b, num_rows, n_local, fixed_ub=fixed
+                        b, num_rows, n_local, fixed_ub=fixed, num_fields=nf
                     )
             else:
                 from ..data.prep import prep_batch
@@ -198,11 +239,15 @@ class SGDLearner:
                     br = self.store.block_rows
 
                     def fn(b):
-                        pb = prep_batch(b, num_rows, min_ub=min_ub)
+                        pb = prep_batch(
+                            b, num_rows, min_ub=min_ub, num_fields=nf
+                        )
                         pb.pair_meta = build_pair_meta(pb.uids, num_rows, br)
                         return pb
                 else:
-                    fn = lambda b: prep_batch(b, num_rows, min_ub=min_ub)
+                    fn = lambda b: prep_batch(
+                        b, num_rows, min_ub=min_ub, num_fields=nf
+                    )
         if fn is not None and d.prep_workers > 1:
             from ..utils.prefetch import MappedPrefetchIter
 
@@ -400,15 +445,13 @@ class SGDLearner:
     def eval_pass(self, uri: str) -> Progress:
         prog = Progress()
         acc = None
-        pys: list[np.ndarray] = []
-        ys: list[np.ndarray] = []
-        collected = 0
-        truncated = False
-        # per-process share of the host-collection cap; beyond it the
-        # exact AUC is computed on the collected PREFIX (with a log note)
-        # and the streaming binned AUC (additive, psum-replicated) remains
-        # the unbounded estimate
+        # (label, score) pairs are host-collected for the exact AUC up to
+        # a cap; past it a uniform RESERVOIR sample of cap pairs replaces
+        # the collection (a prefix of a time-/file-ordered eval stream
+        # would be a biased sample). The streaming binned AUC (additive,
+        # psum-replicated) always covers the full pass.
         local_cap = max(_EXACT_AUC_CAP // jax.process_count(), 1)
+        res = _Reservoir(local_cap, self.cfg.data.seed)
         for batch in self._iter(uri, shuffle=False):
             if self._sorted:
                 metrics, py = self.store.eval_step_sorted(self.state, batch)
@@ -421,28 +464,23 @@ class SGDLearner:
                 )
                 metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
-            if collected >= local_cap:
-                truncated = True
-            else:
-                keep = np.asarray(batch.mask) > 0
-                pys.append(self._local_scores(py)[keep])
-                ys.append(np.asarray(batch.labels)[keep])
-                collected += int(keep.sum())
+            keep = np.asarray(batch.mask) > 0
+            res.add(
+                np.asarray(batch.labels)[keep], self._local_scores(py)[keep]
+            )
         if acc is not None:
             self._fold(prog, acc)
-        if jax.process_count() > 1 or pys:
-            y = np.concatenate(ys) if ys else np.zeros(0, np.float32)
-            p = np.concatenate(pys) if pys else np.zeros(0, np.float32)
-            y, p = self._allgather_pairs(y, p)
+        if jax.process_count() > 1 or res.n_seen:
+            y, p = self._allgather_pairs(*res.sample())
             if len(y):
                 prog.exact_auc = exact_auc(y, p)
-                prog.exact_auc_truncated = truncated
-                if truncated:
+                prog.exact_auc_truncated = res.truncated
+                if res.truncated:
                     log.info(
-                        "exact AUC computed on the first %d collected "
-                        "examples (cap %d); the streaming binned `auc` "
-                        "column covers the full pass",
-                        len(y), _EXACT_AUC_CAP,
+                        "exact AUC computed on a uniform reservoir sample "
+                        "of %d of %d examples (cap %d); the streaming "
+                        "binned `auc` column covers the full pass exactly",
+                        len(y), res.n_seen, _EXACT_AUC_CAP,
                     )
         return prog
 

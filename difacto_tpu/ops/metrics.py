@@ -62,6 +62,28 @@ def auc_hist_update(hist, py, labels, weights):
     return hist + upd.reshape(2, NUM_AUC_BINS)
 
 
+def auc_hist_error_bound(hist: np.ndarray) -> float:
+    """Worst-case |binned - exact| AUC error for this histogram.
+
+    The binned estimate differs from the exact AUC only on (pos, neg)
+    pairs that land in the SAME probability bin: the estimate scores each
+    such pair 0.5 (tie), the exact value is in [0, 1], so the error is at
+    most 0.5 x (in-bin cross-pair mass) = 0.5 * sum_b pos_b*neg_b / (P*N).
+    With 1024 uniform probability bins and any score distribution whose
+    in-bin mass is spread (the typical sigmoid-margin case), this is
+    O(1/num_bins); the bound is computed from the ACTUAL histogram so a
+    pathological spike (all scores equal -> bound 0.5, correctly: AUC is
+    genuinely 0.5 under ties) is reported, not hidden. The learner logs
+    exact AUC alongside whenever the eval set fits the host cap, and a
+    uniform reservoir sample of it beyond."""
+    h = np.asarray(hist, dtype=np.float64)
+    neg, pos = h[0], h[1]
+    n_neg, n_pos = neg.sum(), pos.sum()
+    if n_neg == 0 or n_pos == 0:
+        return 0.0
+    return float(0.5 * np.dot(pos, neg) / (n_pos * n_neg))
+
+
 def auc_from_hist(hist: np.ndarray) -> float:
     """AUC from (neg, pos) score histograms with within-bin tie averaging."""
     h = np.asarray(hist, dtype=np.float64)

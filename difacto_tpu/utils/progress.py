@@ -67,6 +67,14 @@ class Progress:
 
         return auc_from_hist(self.auc_hist)
 
+    @property
+    def auc_error_bound(self) -> float:
+        """Worst-case |auc - exact AUC| from the histogram itself (see
+        ops.metrics.auc_hist_error_bound)."""
+        from ..ops.metrics import auc_hist_error_bound
+
+        return auc_hist_error_bound(self.auc_hist)
+
     def row(self) -> str:
         return (
             f"#ex {int(self.num_examples):>12d}  logloss {self.logloss:.6f}  "

@@ -112,10 +112,10 @@ def test_sharded_checkpoint_roundtrip(data, tmp_path, monkeypatch):
     assert prog.exact_auc is not None
 
 
-def test_exact_auc_cap_reports_prefix(data, monkeypatch):
+def test_exact_auc_cap_reports_reservoir_sample(data, monkeypatch):
     """When validation exceeds the host-collection cap, exact AUC is
-    computed on the capped prefix and flagged truncated — never discarded
-    (round-1 bug: the final guard threw everything away)."""
+    computed on a uniform reservoir sample and flagged truncated — never
+    discarded, and never a biased prefix of an ordered eval stream."""
     import difacto_tpu.learners.sgd as sgd_mod
 
     monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 600)  # < 2000 val rows
@@ -124,8 +124,8 @@ def test_exact_auc_cap_reports_prefix(data, monkeypatch):
     prog = learner.eval_pass(learner.cfg.data.data_val)
     assert prog.exact_auc is not None
     assert prog.exact_auc_truncated
-    # prefix AUC is a real estimate: compare against the full-pass exact
-    # AUC from an uncapped run of the same state
+    # the sampled AUC is a real estimate: compare against the full-pass
+    # exact AUC from an uncapped run of the same state
     monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 4 << 20)
     full = learner.eval_pass(learner.cfg.data.data_val)
     assert not full.exact_auc_truncated

@@ -232,3 +232,30 @@ def test_out_of_range_field_id_raises():
         store.shard_batch(ids, vals, labels, mask, bad)
     with pytest.raises(ValueError, match="no field ids"):
         store.shard_batch(ids, vals, labels, mask, None)
+
+
+def test_out_of_range_field_id_raises_on_prepped_path():
+    """The prepped fast paths device-place batches before the store's
+    validator sees them — prep itself must reject out-of-range fields
+    while they are still host numpy (advisor round-2, medium)."""
+    import numpy as np
+    import pytest
+
+    from difacto_tpu.data.batch_iter import Batch
+    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
+
+    ids = np.zeros((32, 4), np.int32)
+    vals = np.ones((32, 4), np.float32)
+    labels = np.zeros(32, np.float32)
+    mask = np.ones(32, np.float32)
+    bad = np.full((32, 4), 7, np.int32)  # field 7 >= num_fields 3
+    b = Batch(ids, vals, labels, mask, fields=bad)
+    with pytest.raises(ValueError, match="out of range"):
+        prep_batch(b, 1024, num_fields=3)
+    with pytest.raises(ValueError, match="out of range"):
+        prep_batch_sharded(b, 1024, 4, num_fields=3)
+    b_none = Batch(ids, vals, labels, mask)
+    with pytest.raises(ValueError, match="no field ids"):
+        prep_batch(b_none, 1024, num_fields=3)
+    # num_fields=0 (slot-position fields / non-ffm): no validation
+    prep_batch(b, 1024, num_fields=0)
