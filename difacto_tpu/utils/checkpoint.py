@@ -127,14 +127,68 @@ def load(path_prefix: str) -> tuple[FMState, dict]:
     return state, _read_meta(path_prefix)
 
 
+def _parse_index_key(key: str) -> tuple[str, tuple[slice, ...]]:
+    """Inverse of :func:`_index_key`."""
+    name, idx = key.split("@")
+    sls = tuple(
+        slice(int(a), int(b))
+        for a, b in (part.split(":") for part in idx.split(","))
+    )
+    return name, sls
+
+
+def _extract_range(
+    pieces: list[tuple[tuple[slice, ...], np.ndarray]],
+    index: tuple[slice, ...],
+    dtype,
+    what: str,
+) -> np.ndarray:
+    """Assemble one target index range from (possibly differently-sliced)
+    saved pieces — the topology-agnostic re-slicing. Saved shard ranges
+    are disjoint, so element coverage is checked by count."""
+    tgt_shape = tuple(sl.stop - sl.start for sl in index)
+    out = np.zeros(tgt_shape, dtype)
+    want = int(np.prod(tgt_shape))
+    filled = 0
+    for src, arr in pieces:
+        inter = tuple(
+            slice(max(a.start, b.start), min(a.stop, b.stop))
+            for a, b in zip(index, src)
+        )
+        if any(s.start >= s.stop for s in inter):
+            continue
+        dst_sl = tuple(
+            slice(s.start - t.start, s.stop - t.start)
+            for s, t in zip(inter, index)
+        )
+        src_sl = tuple(
+            slice(s.start - c.start, s.stop - c.start)
+            for s, c in zip(inter, src)
+        )
+        out[dst_sl] = arr[src_sl]
+        filled += int(np.prod([s.stop - s.start for s in inter]))
+    if filled < want:
+        raise ValueError(
+            f"checkpoint shard files do not cover {what}"
+            f"{[(s.start, s.stop) for s in index]}: {filled}/{want} elements "
+            "found (a topology-changed restore needs all proc files on a "
+            "shared filesystem)"
+        )
+    return out
+
+
 def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
     """Load a checkpoint and place it according to ``store``'s sharding.
 
     Handles both layouts: the single-file .npz (placed via
-    ``store.place_state``) and the per-process sharded layout (each
-    addressable device gets its shard from whichever proc file recorded
-    that exact global index range — a same-topology restart finds all of
-    its ranges in this process's own file)."""
+    ``store.place_state``) and the per-process sharded layout. Sharded
+    loads are TOPOLOGY-AGNOSTIC (reference: ``Updater::Save/Load`` per-key
+    dumps load into any server count): saved shards are contiguous index
+    ranges, so each target device's range is re-sliced from whichever
+    saved pieces overlap it — a checkpoint from P processes x D devices
+    restores onto any other mesh, or onto a single-device LocalStore,
+    provided this process can read the proc files covering its ranges
+    (same-topology restarts find all of theirs in their own file)."""
     meta = _read_meta(path_prefix)
     if not meta.get("sharded"):
         host_state, meta = load(path_prefix)
@@ -148,28 +202,49 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
         files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
     if not files:
         raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
-    available: dict[str, np.ndarray] = {}
+    available: dict[str, list] = {name: [] for name in _LEAVES}
     for fp in files:
         with _open_npz(fp) as zf:
             for k in zf.files:
-                available[k] = zf[k]
+                name, sls = _parse_index_key(k)
+                available[name].append((sls, zf[k]))
+
+    if not hasattr(store, "fmstate_placement"):
+        # single-device store (LocalStore): reassemble the full arrays
+        full = {}
+        for name in _LEAVES:
+            pieces = available[name]
+            if not pieces:
+                raise ValueError(f"checkpoint {path_prefix} lacks leaf {name}")
+            ndim = len(pieces[0][0])
+            shape = tuple(
+                max(sls[d].stop for sls, _ in pieces) for d in range(ndim)
+            )
+            index = tuple(slice(0, dim) for dim in shape)
+            full[name] = _extract_range(
+                pieces, index, pieces[0][1].dtype, name + "@"
+            )
+        return store.place_state(FMState(**full)), meta
 
     shapes, shardings = store.fmstate_placement()
     placed = {}
     for name in _LEAVES:
         shape = getattr(shapes, name).shape
         sharding = getattr(shardings, name)
+        dtype = available[name][0][1].dtype if available[name] else np.float32
         dev_idx = sharding.addressable_devices_indices_map(shape)
         singles = []
         for dev, index in dev_idx.items():
-            key = _index_key(name, index, shape)
-            if key not in available:
-                raise ValueError(
-                    f"checkpoint {path_prefix} lacks shard {key}: restart "
-                    "topology must match the saving topology (or share a "
-                    "filesystem with all proc files)"
+            norm = tuple(
+                slice(sl.start or 0, sl.stop if sl.stop is not None else dim)
+                for sl, dim in zip(index, shape)
+            )
+            singles.append(
+                jax.device_put(
+                    _extract_range(available[name], norm, dtype, name + "@"),
+                    dev,
                 )
-            singles.append(jax.device_put(available[key], dev))
+            )
         placed[name] = jax.make_array_from_single_device_arrays(
             shape, sharding, singles
         )

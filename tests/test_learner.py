@@ -301,3 +301,60 @@ def test_cache_batches_predict_order_not_shuffled(data):
     lrn2 = SGDLearner(_cfg(data, max_num_epochs=0, store="local"))
     py2, y2 = lrn2.predict(str(data / "train.svm"))
     np.testing.assert_array_equal(y1, y2)  # same (file) order both times
+
+
+def test_sharded_checkpoint_topology_agnostic_load(data, tmp_path, monkeypatch):
+    """A sharded checkpoint (contiguous index-range shard files) restores
+    onto ANY topology (reference: Updater::Save/Load per-key dumps load
+    into any server count): an 8-shard save loads into a 4-shard store
+    (each target range re-sliced from two saved pieces) and into a
+    single-device LocalStore, scores identical."""
+    from helpers import fm_leaves
+
+    from difacto_tpu.parallel.store import LocalStore, ShardedStore
+    from difacto_tpu.updaters.updater import FMUpdater
+    from difacto_tpu.utils import checkpoint
+
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    assert isinstance(learner.store, ShardedStore) and learner.store.S == 8
+    learner.train_epoch(0)
+    ref = fm_leaves(learner.state)
+
+    prefix = str(tmp_path / "topo")
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, learner.state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+
+    # 4-shard store: every target range merges two saved 8-shard pieces
+    cfg4 = _cfg(data, max_num_epochs=1, num_shards=4)
+    st4 = ShardedStore(FMUpdater(cfg4.model), cfg4)
+    got4, meta = checkpoint.load_for_store(prefix, st4)
+    assert meta["sharded"]
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(fm_leaves(got4), name)), err_msg=name,
+        )
+
+    # LocalStore (no fmstate_placement): full-array reassembly
+    cfg1 = _cfg(data, max_num_epochs=1, store="local")
+    st1 = LocalStore(FMUpdater(cfg1.model), cfg1)
+    got1, _ = checkpoint.load_for_store(prefix, st1)
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(fm_leaves(got1), name)), err_msg=name,
+        )
+
+    # a genuinely missing range still fails loudly
+    import glob as _g
+    import os
+
+    for fp in _g.glob(prefix + ".proc*.npz"):
+        os.rename(fp, fp + ".bak")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        checkpoint.load_for_store(prefix, st4)
