@@ -85,8 +85,6 @@ def run_predict(cfg: Config) -> int:
         raise SystemExit("task=predict requires model_in")
     import jax
 
-    if jax.process_count() > 1:
-        raise SystemExit("task=predict is single-host (scores are gathered)")
     from .learners.sgd import SGDLearner
     from .ops.metrics import exact_auc, logloss
 
@@ -96,17 +94,28 @@ def run_predict(cfg: Config) -> int:
     cfg.learner.learner = "sgd"
     learner = SGDLearner(cfg)
     py, labels = learner.predict(cfg.data.data_in)
+    nproc = jax.process_count()
     if cfg.learner.pred_out:
         from .data.io import is_remote, open_uri
 
-        if is_remote(cfg.learner.pred_out):
-            with open_uri(cfg.learner.pred_out, "wb") as f:
+        # multi-process: each worker scores its own input part and writes
+        # its own output part file (reference: every worker's pred job
+        # writes pred_out + its rank), in the part's row order
+        out = cfg.learner.pred_out
+        if nproc > 1:
+            out = f"{out}.part{jax.process_index()}"
+        if is_remote(out):
+            with open_uri(out, "wb") as f:
                 np.savetxt(f, py, fmt="%.6g")
         else:
-            np.savetxt(cfg.learner.pred_out, py, fmt="%.6g")
+            np.savetxt(out, py, fmt="%.6g")
         logging.getLogger("difacto_tpu").info(
-            "wrote %d scores to %s", len(py), cfg.learner.pred_out
+            "wrote %d scores to %s", len(py), out
         )
+    if nproc > 1:
+        # metrics cover the GLOBAL prediction set (same value logged by
+        # every process — the lockstepped eval collectives already ran)
+        labels, py = SGDLearner._allgather_pairs(labels, py)
     if len(set(np.asarray(labels) > 0)) > 1:
         logging.getLogger("difacto_tpu").info(
             "predict: #ex %d  logloss %.6f  auc %.6f",

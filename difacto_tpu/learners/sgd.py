@@ -550,4 +550,6 @@ class SGDLearner:
             keep = np.asarray(batch.mask) > 0
             pys.append(self._local_scores(py)[keep])
             ys.append(np.asarray(batch.labels)[keep])
+        if not pys:  # a process whose input part held no rows
+            return np.zeros(0, np.float32), np.zeros(0, np.float32)
         return np.concatenate(pys), np.concatenate(ys)

@@ -214,3 +214,71 @@ def test_multiprocess_logs_exact_auc(mp_run):
         aucs.append(vals[-1])
     assert abs(aucs[0] - aucs[1]) < 1e-9
     assert 0.5 < aucs[0] <= 1.0
+
+
+def test_multiprocess_predict(mp_run):
+    """task=predict with process_count > 1 (reference: every worker's
+    pred job writes pred_out + its rank): 2 processes score their own
+    input parts from the sharded checkpoint, write per-process part
+    files, and the union of scores matches a single-process predict of
+    the same model (topology-agnostic load) on the same data."""
+    tmp, _ = mp_run
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            DIFACTO_NUM_CPU_DEVICES="2",
+            DIFACTO_COORDINATOR=f"localhost:{port}",
+            DIFACTO_NUM_PROCESSES="2",
+            DIFACTO_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+                    "task=predict", f"model_in={tmp / 'mp_model'}",
+                    f"data_in={tmp / 'val.svm'}",
+                    f"pred_out={tmp / 'pred.txt'}",
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"predict proc {pid} failed:\n{out[-4000:]}"
+    parts = [
+        np.loadtxt(tmp / f"pred.txt.part{pid}", ndmin=1) for pid in range(2)
+    ]
+    assert sum(len(p) for p in parts) == 400  # all val rows scored once
+
+    # single-process reference: same model via topology-agnostic load
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIFACTO_NUM_CPU_DEVICES="2")
+    ref_out = subprocess.run(
+        [
+            sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+            "task=predict", f"model_in={tmp / 'mp_model'}",
+            f"data_in={tmp / 'val.svm'}", f"pred_out={tmp / 'pred_1p.txt'}",
+        ],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert ref_out.returncode == 0, ref_out.stdout + ref_out.stderr
+    ref = np.loadtxt(tmp / "pred_1p.txt", ndmin=1)
+    # each part is its input part's rows in order; parts 0/1 partition the
+    # file's rows contiguously (byte-range InputSplit), so concatenation
+    # reproduces the single-process row order
+    np.testing.assert_allclose(np.concatenate(parts), ref, rtol=2e-4, atol=2e-4)
+
+    # both processes log identical global metrics
+    for out in outs:
+        assert "predict: #ex 400" in out
