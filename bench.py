@@ -31,8 +31,6 @@ Variants (env vars):
   BENCH_PREP=host|device    id dedup location        (default host)
   BENCH_STORE=local|sharded store implementation     (default local)
   BENCH_LAYOUT=auto|packed|planar  state table layout (default auto)
-  BENCH_PIPELINE=sorted     fully-fused sorted-slot pipeline
-  BENCH_CHUNK_ROWS          sorted-pipeline row chunk (default 2048)
   BENCH_HOST_BATCHES=1      keep batches host-side (measure the h2d
                             link in the step instead of device compute)
   BENCH_K, BENCH_BATCH, BENCH_BITS, BENCH_NNZ        shape overrides
@@ -95,14 +93,11 @@ def _store():
         ("kernel", kernel),
         ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
         ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
-        ("chunk_rows", os.environ.get("BENCH_CHUNK_ROWS", "2048")),
         # bench loops over a fixed batch set: keep their device arrays
         # resident (the sharded store re-places per step otherwise)
         ("cache_batches", "1"),
         ("cache_on_device", "0" if os.environ.get("BENCH_HOST_BATCHES") else "1"),
     ]
-    if os.environ.get("BENCH_PIPELINE"):
-        kwargs.append(("pipeline", os.environ["BENCH_PIPELINE"]))
     cfg = Config.from_kwargs(kwargs)
     upd = FMUpdater(cfg.model)
     if os.environ.get("BENCH_STORE", "local") == "sharded":
@@ -111,9 +106,7 @@ def _store():
 
 
 def bench_tpu() -> dict:
-    from difacto_tpu.data.prep import (
-        prep_batch, prep_batch_sharded, prep_batch_sorted,
-    )
+    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
     from difacto_tpu.parallel.store import ShardedStore
     from difacto_tpu.utils.place import place_batch
 
@@ -130,18 +123,7 @@ def bench_tpu() -> dict:
     put = place_batch if place else (lambda pb: pb)
 
     ev = bool(os.environ.get("BENCH_EVAL"))
-    if os.environ.get("BENCH_PIPELINE") == "sorted":
-        cr = int(os.environ.get("BENCH_CHUNK_ROWS", 2048))
-        sbs = [
-            put(prep_batch_sorted(
-                b, 1 << NUM_BITS, store.block_rows, cr,
-                pair_metas=store.pairs,
-            ))
-            for b in batches
-        ]
-        ub = {s.sid.shape[0] for s in sbs}
-        step = lambda s, i: store.train_step_sorted(s, sbs[i % len(sbs)])
-    elif prep and isinstance(store, ShardedStore):
+    if prep and isinstance(store, ShardedStore):
         pbs = [prep_batch_sharded(b, 1 << NUM_BITS, store.S) for b in batches]
         ub = {p.ub for p in pbs}
         if ev:

@@ -171,11 +171,12 @@ class ShardParam(ParamBase):
                                    # XLA); planar = split w/z/n/cnt +
                                    # [K, N] V (big tables, pallas)
     block_rows: int = 1024         # table rows per sweep-kernel block
-    pipeline: str = "auto"         # simple | sorted | auto: the sorted
-                                   # pipeline (chunk-sorted slots, fused
-                                   # kernels, no per-batch unique) needs
-                                   # pallas + loss=fm + local store
-    chunk_rows: int = 2048         # examples per sorted-pipeline row chunk
+    interpret: bool = False        # run Pallas kernels in interpret mode
+                                   # (CPU testing of kernel=pallas/pairs;
+                                   # does NOT check Mosaic rules)
+    # (round 3: the opt-in "sorted" slot pipeline was REMOVED — measured
+    # 112.8 ms/step vs the prepped pair path's 23.1 at flagship shapes,
+    # with no winning regime; see BENCH.md "Sorted pipeline" history)
 
 
 @dataclass

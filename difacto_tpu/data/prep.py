@@ -101,102 +101,6 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS) -> int:
     return (n + 127) // 128 * 128
 
 
-@dataclass
-class SortedBatch:
-    """Chunk-sorted slot layout for the fully-fused Pallas pipeline.
-
-    The batch's B*L slots are grouped into row-chunks of ``chunk_rows``
-    examples; within each chunk, slots are sorted by hashed id (padding
-    slots carry the sentinel ``num_rows`` and sort last). This gives:
-
-      * per-chunk sorted id streams -> the sweep kernels gather/apply
-        with contiguous per-table-block slices and NO per-batch unique
-        (their one-hot matmuls aggregate duplicates in-kernel);
-      * rows local to a chunk -> the fused FM kernel's one-hot
-        row-aggregation windows over ``chunk_rows`` examples.
-
-    ``offsets[s, b]`` is the absolute position in the flat sorted arrays
-    of the first slot of stream s owned by table block b (given the
-    store's block_rows), i.e. the reference's KVMatch/key-range seam
-    computed on the host.
-    """
-
-    svals: np.ndarray    # f32 [NNZ] values in chunk-sorted order
-    srow: np.ndarray     # i32 [NNZ] global example row of each slot
-    sid: np.ndarray      # i32 [NNZ] hashed id (num_rows sentinel for pads)
-    offsets: np.ndarray  # i32 [num_chunks, nb+1]
-    labels: np.ndarray   # f32 [B]
-    mask: np.ndarray     # f32 [B]
-    chunk_rows: int
-    # kernel=pairs schedules (ops/pair_sweep.py), attached by the prep
-    # thread when the store runs pair kernels: pull is window-major,
-    # apply block-major (see build_pair_meta)
-    pair_pull: object = None
-    pair_apply: object = None
-
-    @property
-    def num_examples(self) -> int:
-        return int(self.mask.sum())
-
-
-def prep_batch_sorted(
-    batch: Batch,
-    num_rows: int,
-    block_rows: int,
-    chunk_rows: int = 2048,
-    stream_pad: int | None = None,
-    pair_metas: bool = False,
-) -> SortedBatch:
-    """``stream_pad`` sentinel slots terminate each stream so that every
-    stream's slot count is a multiple of 1024 — the Mosaic dynamic-slice
-    granularity the fused kernels' tile DMAs require (defaults to the
-    smallest such pad)."""
-    b, l = batch.ids.shape
-    chunk_rows = min(chunk_rows, b)
-    assert b % chunk_rows == 0, "batch_size must be a multiple of chunk_rows"
-    nchunks = b // chunk_rows
-    ids = np.where(batch.ids < 0, num_rows, batch.ids).astype(np.int64)
-    nb = num_rows // block_rows
-    boundaries = np.arange(nb + 1, dtype=np.int64) * block_rows
-    q = chunk_rows * l
-    if stream_pad is None:
-        stream_pad = (-q) % 1024 or 1024
-    qp = q + stream_pad
-    svals = np.zeros(nchunks * qp, np.float32)
-    srow = np.empty(nchunks * qp, np.int32)
-    sid = np.full(nchunks * qp, num_rows, np.int32)
-    offsets = np.empty((nchunks, nb + 1), np.int32)
-    rows_global = np.repeat(np.arange(b, dtype=np.int32), l)
-    flat_ids = ids.reshape(-1)
-    flat_vals = batch.vals.reshape(-1)
-    for c in range(nchunks):
-        lo = c * q
-        sl = slice(lo, lo + q)
-        order = np.argsort(flat_ids[sl], kind="stable")
-        cid = flat_ids[sl][order]
-        po = c * qp
-        sid[po : po + q] = cid.astype(np.int32)
-        svals[po : po + q] = flat_vals[sl][order]
-        srow[po : po + q] = rows_global[sl][order]
-        srow[po + q : po + qp] = c * chunk_rows  # pad slots: any row in chunk
-        offsets[c] = po + np.searchsorted(cid, boundaries, side="left")
-    mp = ma = None
-    if pair_metas:
-        from ..ops.pair_sweep import build_pair_meta
-
-        mp = build_pair_meta(
-            sid, num_rows, block_rows, seg_len=qp, order="window"
-        )
-        ma = build_pair_meta(
-            sid, num_rows, block_rows, seg_len=qp, order="block"
-        )
-    return SortedBatch(
-        svals=svals, srow=srow, sid=sid, offsets=offsets,
-        labels=batch.labels, mask=batch.mask, chunk_rows=chunk_rows,
-        pair_pull=mp, pair_apply=ma,
-    )
-
-
 def _localize_ids(ids: np.ndarray, num_rows: int):
     """Dedup one shard's padded ids (PAD_ID=-1 -> sentinel num_rows,
     which sorts last). Returns (uids, inv, counts, has_sentinel, n_real).
@@ -389,6 +293,75 @@ def shard_bucket_fills(pb: ShardPreppedBatch, num_rows: int) -> np.ndarray:
     return fills
 
 
+def _send_buckets(
+    pb: ShardPreppedBatch, num_rows: int, S_global: int, C: int
+) -> np.ndarray:
+    """i32 [n_local, S_global, C] per-(local source, global owner) send
+    buckets of GLOBAL hashed ids (sentinel ``num_rows`` padding) — the
+    host mirror of ShardedStore._gather_routing: each sorted per-source
+    unique set splits into contiguous owner runs, truncated at C (the
+    device counts those drops)."""
+    n_local, ub = pb.num_shards, pb.ub
+    rows_per_shard = num_rows // S_global
+    uids = pb.uids.reshape(n_local, ub).astype(np.int64)
+    bounds = np.arange(S_global + 1, dtype=np.int64) * rows_per_shard
+    out = np.full((n_local, S_global, C), num_rows, np.int32)
+    for s in range(n_local):
+        u = uids[s]
+        n_valid = int(np.searchsorted(u, num_rows, side="left"))
+        lo = np.searchsorted(u[:n_valid], bounds, side="left")
+        for o in range(S_global):
+            cnt = min(int(lo[o + 1] - lo[o]), C)
+            out[s, o, :cnt] = u[lo[o] : lo[o] + cnt]
+    return out
+
+
+def _metas_from_send(
+    send: np.ndarray,       # i32 [S, S, C] global send matrix [src, owner]
+    num_rows: int,
+    capacity: int,
+    block_rows: int,
+    keep: range,
+) -> ShardPairMetas:
+    """Pair schedules from the GLOBAL send matrix, for owners in ``keep``
+    (a process keeps only its local owner devices; the pair-count buckets
+    Pp/Pa are computed over ALL owners so every process pads its stacked
+    arrays to identical shapes — required by
+    make_array_from_process_local_data)."""
+    from ..ops.pair_sweep import W, build_pair_meta
+
+    S, C = send.shape[0], capacity
+    rows_per_shard = num_rows // S
+    pulls, applies = [], []
+    for o in range(S):
+        # owner o's post-all_to_all local-id stream: source s's bucket in
+        # segment s; sentinel global ids become the local sentinel
+        g = send[:, o, :].reshape(S * C).astype(np.int64)
+        stream = np.where(g >= num_rows, rows_per_shard, g - o * rows_per_shard)
+        pulls.append(build_pair_meta(
+            stream, rows_per_shard, block_rows, seg_len=C, order="window"
+        ))
+        applies.append(build_pair_meta(
+            stream, rows_per_shard, block_rows, seg_len=C, order="block"
+        ))
+    sent_win = (S * C) // W
+    Pp = max(m.blocks.shape[0] for m in pulls)
+    Pa = max(m.blocks.shape[0] for m in applies)
+    pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []
+    for o in keep:
+        b, w, _, wf = _pad_pair_arrays(pulls[o].blocks, pulls[o].wins, Pp, sent_win)
+        pb_l.append(b); pw_l.append(w); pwf_l.append(wf)
+        b, w, f, _ = _pad_pair_arrays(applies[o].blocks, applies[o].wins, Pa, sent_win)
+        ab_l.append(b); aw_l.append(w); af_l.append(f)
+    return ShardPairMetas(
+        pull_blocks=np.stack(pb_l), pull_wins=np.stack(pw_l),
+        pull_wfirst=np.stack(pwf_l),
+        apply_blocks=np.stack(ab_l), apply_wins=np.stack(aw_l),
+        apply_first=np.stack(af_l),
+        capacity=C, block_rows=block_rows,
+    )
+
+
 def build_shard_pair_metas(
     pb: ShardPreppedBatch,
     num_rows: int,
@@ -396,12 +369,13 @@ def build_shard_pair_metas(
     block_rows: int,
 ) -> ShardPairMetas:
     """Owner-side pair schedules for one ShardPreppedBatch (see
-    ShardPairMetas). ``capacity`` must be the store's per-(src,dst)
-    all_to_all slot count for this batch's bucket
-    (ShardedStore.prepped_capacity), a multiple of 128."""
+    ShardPairMetas), single-process: the batch's prep covers ALL shards.
+    ``capacity`` must be the store's per-(src,dst) all_to_all slot count
+    for this batch's bucket (ShardedStore.pairs_capacity), a multiple of
+    128."""
     from ..ops.pair_sweep import W, build_pair_meta
 
-    S, ub, C = pb.num_shards, pb.ub, capacity
+    S, C = pb.num_shards, capacity
     assert C % W == 0, "pair kernels need 128-lane-aligned capacity"
     if S == 1:
         # degenerate mesh: the store skips routing and runs the pair
@@ -416,44 +390,49 @@ def build_shard_pair_metas(
             apply_first=m.first[None],
             capacity=C, block_rows=block_rows,
         )
-    rows_per_shard = num_rows // S
-    uids = pb.uids.reshape(S, ub).astype(np.int64)
-    bounds = np.arange(S + 1, dtype=np.int64) * rows_per_shard
-    # streams[o] = owner o's post-all_to_all local-id stream
-    streams = np.full((S, S * C), rows_per_shard, np.int64)
-    for s in range(S):
-        u = uids[s]
-        n_valid = int(np.searchsorted(u, num_rows, side="left"))
-        lo = np.searchsorted(u[:n_valid], bounds, side="left")
-        for o in range(S):
-            cnt = min(int(lo[o + 1] - lo[o]), C)
-            streams[o, s * C : s * C + cnt] = (
-                u[lo[o] : lo[o] + cnt] - o * rows_per_shard
-            )
-    pulls, applies = [], []
-    for o in range(S):
-        pulls.append(build_pair_meta(
-            streams[o], rows_per_shard, block_rows, seg_len=C, order="window"
-        ))
-        applies.append(build_pair_meta(
-            streams[o], rows_per_shard, block_rows, seg_len=C, order="block"
-        ))
-    sent_win = (S * C) // W
-    Pp = max(m.blocks.shape[0] for m in pulls)
-    Pa = max(m.blocks.shape[0] for m in applies)
-    pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []
-    for o in range(S):
-        b, w, _, wf = _pad_pair_arrays(pulls[o].blocks, pulls[o].wins, Pp, sent_win)
-        pb_l.append(b); pw_l.append(w); pwf_l.append(wf)
-        b, w, f, _ = _pad_pair_arrays(applies[o].blocks, applies[o].wins, Pa, sent_win)
-        ab_l.append(b); aw_l.append(w); af_l.append(f)
-    return ShardPairMetas(
-        pull_blocks=np.stack(pb_l), pull_wins=np.stack(pw_l),
-        pull_wfirst=np.stack(pwf_l),
-        apply_blocks=np.stack(ab_l), apply_wins=np.stack(aw_l),
-        apply_first=np.stack(af_l),
-        capacity=C, block_rows=block_rows,
-    )
+    send = _send_buckets(pb, num_rows, S, C)
+    return _metas_from_send(send, num_rows, C, block_rows, range(S))
+
+
+def build_shard_pair_metas_mp(
+    pb: ShardPreppedBatch,
+    num_rows: int,
+    S_global: int,
+    capacity: int,
+    block_rows: int,
+) -> ShardPairMetas:
+    """Multi-process pair schedules: every process preps only its LOCAL
+    rows, but owner-side schedules need every source's buckets — so the
+    bucketed GLOBAL ids are ``process_allgather``-ed (~S*C*4 B per local
+    shard per step), each process reconstructs the global send matrix and
+    builds schedules for its LOCAL owner devices, padded to globally
+    agreed pair counts (computed over all owners — every process holds
+    the same send matrix).
+
+    MUST be called on the main thread in lockstep step order (it is a
+    collective); the ShardedStore calls it from train/eval_step_prepped,
+    never from prefetch workers. ``capacity`` must be deterministic
+    across processes (the store's pinned ``self.capacity``, derived from
+    config alone).
+
+    Counterpart of the reference's dist path being its production path
+    (SURVEY §2.2 ps-lite KV app: servers see every worker's key ranges
+    by construction; under SPMD the host-built schedules need this one
+    extra allgather)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..ops.pair_sweep import W
+
+    C = capacity
+    assert C % W == 0, "pair kernels need 128-lane-aligned capacity"
+    n_local = pb.num_shards
+    send_local = _send_buckets(pb, num_rows, S_global, C)
+    gathered = np.asarray(multihost_utils.process_allgather(send_local))
+    send = gathered.reshape(S_global, S_global, C)
+    pid = jax.process_index()
+    keep = range(pid * n_local, (pid + 1) * n_local)
+    return _metas_from_send(send, num_rows, C, block_rows, keep)
 
 
 def prep_batch_sharded(

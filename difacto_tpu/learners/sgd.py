@@ -85,26 +85,9 @@ class SGDLearner:
         # ffm stores F*k factors per feature in the same planar table
         self.updater = FMUpdater(cfg.effective_model_param())
         self.store = make_store(self.updater, cfg)
-        from ..parallel.store import LocalStore
-
         # host localization (data/prep.py) serves BOTH stores: LocalStore
         # gets one global unique set, ShardedStore one per device shard
         self._host_localize = bool(cfg.data.host_localize)
-        pl_mode = cfg.shard.pipeline
-        # sorted pipeline is opt-in for now: its fused-FM kernel's
-        # non-blocked output is VMEM-staged by Mosaic, capping batch sizes
-        # (see ops/fm_chunk.py); the prepped path + apply sweep is the
-        # production default on TPU
-        self._sorted = (
-            isinstance(self.store, LocalStore)
-            and getattr(self.store, "supports_sorted", False)
-            and pl_mode == "sorted"
-        )
-        if pl_mode == "sorted" and not self._sorted:
-            raise ValueError(
-                "pipeline=sorted needs the local store with pallas kernels "
-                "and loss=fm"
-            )
         self.reporter = Reporter(cfg.learner.report_interval)
         self.epoch_callbacks: list[Callable[[int, Progress], None]] = []
         # reference DataStore: cache processed batches across epochs
@@ -182,15 +165,6 @@ class SGDLearner:
         fn = None
         if localize is False:
             pass
-        elif self._sorted:
-            from ..data.prep import prep_batch_sorted
-
-            br = self.store.block_rows
-            cr = self.cfg.shard.chunk_rows
-            pm = getattr(self.store, "pairs", False)
-            fn = lambda b: prep_batch_sorted(
-                b, num_rows, br, cr, pair_metas=pm
-            )
         elif self._host_localize if localize is None else localize:
             from ..parallel.store import ShardedStore
 
@@ -202,9 +176,12 @@ class SGDLearner:
                 # identical shapes (overflow is counted, never silent)
                 n_local = jax.local_device_count()
                 fixed = self.store.unique_size if nproc > 1 else None
-                if getattr(self.store, "pairs", False):
+                if getattr(self.store, "pairs", False) and nproc == 1:
                     # kernel=pairs: build the per-owner pair schedules in
-                    # the prep workers too, overlapped with device steps
+                    # the prep workers too, overlapped with device steps.
+                    # (Multi-process schedules need a process_allgather —
+                    # a collective, so the STORE builds them on the main
+                    # thread in lockstep step order, never here.)
                     from ..data.prep import build_shard_pair_metas
 
                     store = self.store
@@ -377,11 +354,7 @@ class SGDLearner:
                 if step < skip:
                     step += 1
                     continue
-                if self._sorted:
-                    self.state, metrics = self.store.train_step_sorted(
-                        self.state, batch
-                    )
-                elif self._host_localize:
+                if self._host_localize:
                     self.state, metrics = self.store.train_step_prepped(
                         self.state, batch
                     )
@@ -453,9 +426,7 @@ class SGDLearner:
         local_cap = max(_EXACT_AUC_CAP // jax.process_count(), 1)
         res = _Reservoir(local_cap, self.cfg.data.seed)
         for batch in self._iter(uri, shuffle=False):
-            if self._sorted:
-                metrics, py = self.store.eval_step_sorted(self.state, batch)
-            elif self._host_localize:
+            if self._host_localize:
                 metrics, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(
@@ -537,9 +508,7 @@ class SGDLearner:
         (reference: the validation/pred flow with model_in + no training)."""
         pys, ys = [], []
         for batch in self._iter(uri, shuffle=False):
-            if self._sorted:
-                _, py = self.store.eval_step_sorted(self.state, batch)
-            elif self._host_localize:
+            if self._host_localize:
                 _, py = self.store.eval_step_prepped(self.state, batch)
             else:
                 args = self.store.shard_batch(

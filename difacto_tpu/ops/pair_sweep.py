@@ -104,9 +104,10 @@ def build_pair_meta(
     (last real block, sentinel window) no-op pairs.
 
     ``seg_len``: the stream is sorted only WITHIN consecutive segments of
-    this many lanes (SortedBatch chunks; default: one whole-array
-    segment). Ids may repeat — per-slot streams are valid input; the
-    apply kernel aggregates across a block's pairs before updating.
+    this many lanes (the ShardedStore's per-source all_to_all buckets;
+    default: one whole-array segment). Ids may repeat — per-slot streams
+    are valid input; the apply kernel aggregates across a block's pairs
+    before updating.
 
     ``order``: 'block' sorts pairs (block, window) — same-block runs
     consecutive, required by the apply kernel's accumulate-until-last;

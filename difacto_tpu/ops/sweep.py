@@ -28,8 +28,7 @@ Cost model: one full sweep reads+writes the state arrays once
 always true for CTR batches against practically-sized hashed tables.
 
 This module is the single-stream (unique sorted ids) interface; the
-kernels themselves live in ``ops/sweep_ms.py`` and also serve the
-sorted multi-stream pipeline.
+kernels themselves live in ``ops/sweep_ms.py``.
 
 Layout contract: scalar state (w, z, n, cnt) is [N] with R-element
 blocks; V/nV are planar [K, N] with (K, R) blocks; R is a multiple of

@@ -1,9 +1,13 @@
 """Multi-stream block-sweep kernels (alignment-correct window design).
 
-Generalization of the table sweep idea for the sorted pipeline
-(data/prep.py :: SortedBatch) and the unique-id path (ops/sweep.py wraps
-these with a single stream). See sweep.py's module docstring for the
-design rationale; this module is the real-TPU implementation:
+The whole-table sweep kernels behind ``kernel=pallas`` (ops/sweep.py
+wraps these with a single sorted-unique stream) — also the home of
+``fused_table_update``, the in-kernel FTRL/AdaGrad/SGD block update the
+pair kernels (ops/pair_sweep.py) reuse. The multi-stream generality
+originally served the chunk-sorted slot pipeline, removed in round 3
+after measuring 5x slower than the deduped pair path (BENCH.md). See
+sweep.py's module docstring for the design rationale; this module is the
+real-TPU implementation:
 
 Mosaic constrains dynamic HBM slices to the array's tile granularity
 (1024 elements for 1-D i32/f32 at scale; full 8-sublane groups and

@@ -32,6 +32,7 @@ and capacity_factor x slack this is vanishingly rare, and never silent.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,8 @@ from ..ops.localize import Localized, localize
 from ..updaters.updater import (
     FMState, FMUpdater, PackedFMState, pack_state, unpack_state,
 )
+
+log = logging.getLogger("difacto_tpu")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,7 +92,7 @@ def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
     comfortable."""
     lay = cfg.shard.layout
     if lay == "auto":
-        if needs_planar or cfg.shard.pipeline == "sorted":
+        if needs_planar:
             return "planar"
         return "packed" if cfg.data.num_bits <= 24 else "planar"
     if lay == "packed" and needs_planar:
@@ -110,10 +113,12 @@ def _kernel_kind(cfg: Config) -> str:
     the 1024-row blocks, pair count (grid steps) grows with the table,
     and the XLA gather/scatter wins (2^24: 39.4 vs 56.9 ms; 2^26: 66.5
     vs 125.6 — BENCH.md scaling table), so auto keeps xla there. Also
-    kept on xla: non-TPU backends (Mosaic kernels), multi-process runs
-    (owner-side pair schedules need every source's unique bucket on one
-    host), and host_localize=false (the schedule is host-built). On a
-    sharded mesh the threshold applies to the PER-SHARD table."""
+    kept on xla: non-TPU backends (Mosaic kernels) and
+    host_localize=false (the schedule is host-built). Multi-process runs
+    get pairs too (round 3): owner-side schedules are built from a
+    process_allgather of the bucketed global ids
+    (data/prep.py::build_shard_pair_metas_mp). On a sharded mesh the
+    threshold applies to the PER-SHARD table."""
     kind = cfg.shard.kernel
     if kind == "auto":
         if cfg.shard.store == "local":
@@ -123,7 +128,6 @@ def _kernel_kind(cfg: Config) -> str:
         rows_per_shard = (1 << cfg.data.num_bits) // max(n_shards, 1)
         if (
             jax.default_backend() == "tpu"
-            and jax.process_count() == 1
             and cfg.data.host_localize
             and rows_per_shard <= 1 << 23
         ):
@@ -154,6 +158,7 @@ class LocalStore:
     def __init__(self, updater: FMUpdater, cfg: Config, interpret: bool = False):
         self.updater = updater
         self.cfg = cfg
+        interpret = interpret or cfg.shard.interpret
         self.num_rows = 1 << cfg.data.num_bits
         nnz = cfg.data.batch_size * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or nnz
@@ -174,12 +179,6 @@ class LocalStore:
         self._jit_prepped_eval = jax.jit(self._prepped_eval)
         self._jit_pairs_step = jax.jit(self._pairs_step, donate_argnums=0)
         self._jit_pairs_eval = jax.jit(self._pairs_eval)
-        self._jit_sorted_step = jax.jit(self._sorted_step, donate_argnums=0)
-        self._jit_sorted_eval = jax.jit(self._sorted_eval)
-        self._jit_sorted_pairs_step = jax.jit(
-            self._sorted_pairs_step, donate_argnums=0
-        )
-        self._jit_sorted_pairs_eval = jax.jit(self._sorted_pairs_eval)
 
     def init_state(self, seed: int = 0):
         if self.layout == "packed":
@@ -416,167 +415,6 @@ class LocalStore:
         )
         return metrics, py
 
-    # -- sorted pipeline (data/prep.py :: SortedBatch + ops/sweep_ms +
-    # ops/fm_chunk): no per-batch unique, no XLA sparse ops at all --------
-
-    @property
-    def supports_sorted(self) -> bool:
-        return (self.pallas or self.pairs) and self.loss == "fm"
-
-    def _sorted_step_impl(self, state, svals, srow, sid, offsets, labels, mask, train):
-        from ..models.losses import logit_grad_coeff
-        from ..ops.fm_chunk import fm_chunk
-        from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
-        from ..ops.sweep_ms import sweep_apply_ms, sweep_pull_ms
-
-        p = self.updater.param
-        rows_p = sweep_pull_ms(
-            state, sid, offsets, p,
-            block_rows=self.block_rows, interpret=self.interpret,
-        )
-        py, grads_p = fm_chunk(
-            svals, srow, sid, rows_p, labels, mask,
-            min(self.cfg.shard.chunk_rows, labels.shape[0]),
-            self.num_rows, interpret=self.interpret,
-        )
-        _, loss, correct = logit_grad_coeff(py, labels, mask)
-        metrics = StepMetrics(
-            examples=jnp.sum(mask),
-            logloss_sum=jnp.sum(loss),
-            correct_sum=jnp.sum(correct),
-            label_sum=jnp.sum(labels * mask),
-            pred_sum=jnp.sum(jax.nn.sigmoid(py) * mask),
-            auc_hist=auc_hist_update(
-                jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
-            ),
-            dropped_ids=jnp.zeros((), jnp.float32),
-        )
-        if not train:
-            return state, metrics, py
-        vf = (sid < self.num_rows).astype(jnp.float32)
-        payload = jnp.concatenate(
-            [jnp.where(vf[None, :] > 0, grads_p, 0.0), vf[None, :], vf[None, :]],
-            axis=0,
-        )
-        state = sweep_apply_ms(
-            state, sid, payload, offsets, p,
-            block_rows=self.block_rows, interpret=self.interpret,
-        )
-        return state, metrics, py
-
-    def _sorted_step(self, state, svals, srow, sid, offsets, labels, mask):
-        state, metrics, _ = self._sorted_step_impl(
-            state, svals, srow, sid, offsets, labels, mask, train=True
-        )
-        return state, metrics
-
-    def _sorted_eval(self, state, svals, srow, sid, offsets, labels, mask):
-        _, metrics, py = self._sorted_step_impl(
-            state, svals, srow, sid, offsets, labels, mask, train=False
-        )
-        return metrics, py
-
-    def train_step_sorted(self, state, sb):
-        if self.pairs:
-            mp, ma = self._sorted_pair_metas(sb)
-            return self._jit_sorted_pairs_step(
-                state, sb.svals, sb.srow, sb.sid, sb.labels, sb.mask,
-                mp.blocks, mp.wins, mp.wfirst,
-                ma.blocks, ma.wins, ma.first,
-            )
-        return self._jit_sorted_step(
-            state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
-        )
-
-    def eval_step_sorted(self, state, sb):
-        if self.pairs:
-            mp, _ = self._sorted_pair_metas(sb)
-            return self._jit_sorted_pairs_eval(
-                state, sb.svals, sb.srow, sb.sid, sb.labels, sb.mask,
-                mp.blocks, mp.wins, mp.wfirst,
-            )
-        return self._jit_sorted_eval(
-            state, sb.svals, sb.srow, sb.sid, sb.offsets, sb.labels, sb.mask
-        )
-
-    # -- sorted pipeline on PAIR kernels (v2): pull/apply sweep only the
-    # (block, window) pairs the batch's slot streams touch ----------------
-
-    def _sorted_pair_metas(self, sb):
-        """(pull window-major, apply block-major) pair schedules for a
-        SortedBatch (prep attaches them; rebuilt here otherwise)."""
-        mp = getattr(sb, "pair_pull", None)
-        ma = getattr(sb, "pair_apply", None)
-        if mp is None or ma is None or mp.block_rows != self.block_rows:
-            from ..ops.pair_sweep import build_pair_meta
-
-            seg = sb.sid.shape[0] // (sb.labels.shape[0] // sb.chunk_rows)
-            mp = build_pair_meta(
-                np.asarray(sb.sid), self.num_rows, self.block_rows,
-                seg_len=seg, order="window",
-            )
-            ma = build_pair_meta(
-                np.asarray(sb.sid), self.num_rows, self.block_rows,
-                seg_len=seg, order="block",
-            )
-        return mp, ma
-
-    def _sorted_pairs_fwd(self, state, svals, srow, sid, labels, mask,
-                          pb_, pw_, pwf_):
-        from ..models.losses import logit_grad_coeff
-        from ..ops.fm_chunk import fm_chunk
-        from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
-        from ..ops.pair_sweep import pull_pairs
-
-        p = self.updater.param
-        rows_p = pull_pairs(
-            state, sid, (pb_, pw_, None, pwf_), p,
-            block_rows=self.block_rows, interpret=self.interpret,
-        )
-        py, grads_p = fm_chunk(
-            svals, srow, sid, rows_p, labels, mask,
-            min(self.cfg.shard.chunk_rows, labels.shape[0]),
-            self.num_rows, interpret=self.interpret,
-        )
-        _, loss, correct = logit_grad_coeff(py, labels, mask)
-        metrics = StepMetrics(
-            examples=jnp.sum(mask),
-            logloss_sum=jnp.sum(loss),
-            correct_sum=jnp.sum(correct),
-            label_sum=jnp.sum(labels * mask),
-            pred_sum=jnp.sum(jax.nn.sigmoid(py) * mask),
-            auc_hist=auc_hist_update(
-                jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
-            ),
-            dropped_ids=jnp.zeros((), jnp.float32),
-        )
-        return py, grads_p, metrics
-
-    def _sorted_pairs_step(self, state, svals, srow, sid, labels, mask,
-                           pb_, pw_, pwf_, ab_, aw_, af_):
-        from ..ops.pair_sweep import apply_pairs
-
-        _, grads_p, metrics = self._sorted_pairs_fwd(
-            state, svals, srow, sid, labels, mask, pb_, pw_, pwf_
-        )
-        vf = (sid < self.num_rows).astype(jnp.float32)
-        payload = jnp.concatenate(
-            [jnp.where(vf[None, :] > 0, grads_p, 0.0), vf[None, :], vf[None, :]],
-            axis=0,
-        )
-        state = apply_pairs(
-            state, sid, payload, (ab_, aw_, af_, None), self.updater.param,
-            block_rows=self.block_rows, interpret=self.interpret,
-        )
-        return state, metrics
-
-    def _sorted_pairs_eval(self, state, svals, srow, sid, labels, mask,
-                           pb_, pw_, pwf_):
-        py, _, metrics = self._sorted_pairs_fwd(
-            state, svals, srow, sid, labels, mask, pb_, pw_, pwf_
-        )
-        return metrics, py
-
     def stats(self, state):
         return jax.jit(self.updater.stats)(state)
 
@@ -601,6 +439,7 @@ class ShardedStore:
     ):
         self.updater = updater
         self.cfg = cfg
+        interpret = interpret or cfg.shard.interpret
         if mesh is None:
             n = cfg.shard.num_shards or len(jax.devices())
             mesh = jax.make_mesh((n,), ("shard",))
@@ -734,12 +573,22 @@ class ShardedStore:
         zero drops, minimal owner stream — rounded up a coarse ladder so
         few distinct jit/Mosaic specializations exist. (The XLA path
         instead sizes worst-case from capacity_factor; the host can do
-        better because it built the buckets.)"""
+        better because it built the buckets.)
+
+        An explicit config ``unique_size`` FLOORS the capacity (mirroring
+        the local path's pinned bucket): every typical batch then lands
+        on one capacity and mid-epoch batches can never mint a fresh
+        Mosaic specialization (5-15 min on a remote compile service —
+        BENCH.md); a pathologically skewed batch still gets the next
+        ladder rung up (correctness first, logged in _pairs_jits)."""
         from ..data.prep import shard_bucket_fills
         from ..ops.pair_sweep import W
 
         fills = shard_bucket_fills(pb, self.num_rows)
-        return _cap_ladder(_round_up(max(int(fills.max()), 1), W))
+        c = _round_up(max(int(fills.max()), 1), W)
+        if self.cfg.shard.unique_size:
+            c = max(c, self.capacity)  # pinned floor, W-aligned for pairs
+        return _cap_ladder(c)
 
     # -- placement ----------------------------------------------------------
 
@@ -815,6 +664,15 @@ class ShardedStore:
         arrays and the optional fields array."""
         e = self._pairs_jit_cache.get(C)
         if e is None:
+            if self._pairs_jit_cache:
+                # a new capacity mid-run means a fresh jit (and on TPU a
+                # fresh Mosaic compile — minutes on a remote service);
+                # pin `unique_size` to floor the capacity if this repeats
+                log.info(
+                    "sharded pairs: new all_to_all capacity %d "
+                    "(existing: %s) — compiling a new specialization",
+                    C, sorted(self._pairs_jit_cache),
+                )
             pair_specs = (
                 self._prepped_specs[:8]
                 + (P("shard", None),) * 6
@@ -839,20 +697,31 @@ class ShardedStore:
         return e
 
     def _pairs_prepped_args(self, pb):
-        """(capacity, prepped args + placed pair-schedule arrays)."""
-        if jax.process_count() > 1:
-            raise ValueError(
-                "kernel=pairs on a sharded store is single-process only: "
-                "owner-side pair schedules need every source's unique "
-                "bucket, but each process preps only its local rows "
-                "(use kernel=xla for multi-host runs)"
-            )
+        """(capacity, prepped args + placed pair-schedule arrays).
+
+        Multi-process: each process preps only its local rows, so the
+        owner-side schedules come from build_shard_pair_metas_mp — a
+        process_allgather of the bucketed global ids, executed HERE (the
+        main thread, inside the lockstepped step sequence: collective
+        order must be identical on every process) with the pinned
+        deterministic capacity. Single-process keeps the cheaper local
+        build with the batch-fill-sized capacity, overlapped in the prep
+        workers when the learner attached it."""
         m = getattr(pb, "pair_metas", None)
         if m is None or m.block_rows != self.block_rows:
-            C = self.pairs_capacity(pb)
-            from ..data.prep import build_shard_pair_metas
+            if jax.process_count() > 1:
+                from ..data.prep import build_shard_pair_metas_mp
 
-            m = build_shard_pair_metas(pb, self.num_rows, C, self.block_rows)
+                m = build_shard_pair_metas_mp(
+                    pb, self.num_rows, self.S, self.capacity, self.block_rows
+                )
+            else:
+                C = self.pairs_capacity(pb)
+                from ..data.prep import build_shard_pair_metas
+
+                m = build_shard_pair_metas(
+                    pb, self.num_rows, C, self.block_rows
+                )
             pb.pair_metas = m  # cached batches reuse the schedule
         placed = self._cached_place(
             pb, "metas",

@@ -18,8 +18,8 @@ import numpy as np
 
 
 def place_batch(b):
-    """Return a copy of a batch dataclass (Batch / PreppedBatch /
-    SortedBatch) with every NumPy array field device_put (async),
+    """Return a copy of a batch dataclass (Batch / PreppedBatch) with
+    every NumPy array field device_put (async),
     including arrays inside one level of nested dataclass fields
     (pair metas). Non-array fields pass through; already-placed batches
     pass through unchanged."""

@@ -182,3 +182,72 @@ def test_prebuilt_metas_match_store_built():
             np.asarray(getattr(fm_leaves(s2), name)),
             atol=1e-5, err_msg=name,
         )
+
+
+def test_mp_send_buckets_and_metas_match_single_process():
+    """The multi-process schedule path (per-process send buckets ->
+    allgathered global send matrix -> per-owner metas) must reproduce the
+    single-process builder exactly: 2 emulated processes x 2 local shards
+    give the same schedules as one process over all 4 shards."""
+    from difacto_tpu.data.batch_iter import Batch
+    from difacto_tpu.data.prep import (
+        _metas_from_send, _send_buckets, prep_batch_sharded,
+    )
+
+    N, S, C, ub, br = 1 << 13, 4, 256, 512, 256
+    rng = np.random.default_rng(9)
+    B, L = 256, 16
+    ids = rng.integers(0, N, (B, L)).astype(np.int32)
+    ids[rng.random((B, L)) < 0.1] = -1
+    vals = np.ones((B, L), np.float32)
+    labels = (rng.random(B) > 0.5).astype(np.float32)
+    mask = np.ones(B, np.float32)
+    gb = Batch(ids, vals, labels, mask)
+
+    pb_full = prep_batch_sharded(gb, N, S, fixed_ub=ub)
+    send_full = _send_buckets(pb_full, N, S, C)
+
+    halves = [
+        prep_batch_sharded(
+            Batch(ids[lo : lo + B // 2], vals[lo : lo + B // 2],
+                  labels[lo : lo + B // 2], mask[lo : lo + B // 2]),
+            N, S // 2, fixed_ub=ub,
+        )
+        for lo in (0, B // 2)
+    ]
+    send_mp = np.concatenate(
+        [_send_buckets(h, N, S, C) for h in halves], axis=0
+    )
+    np.testing.assert_array_equal(send_full, send_mp)
+
+    from difacto_tpu.data.prep import build_shard_pair_metas
+
+    ref = build_shard_pair_metas(pb_full, N, C, br)
+    # each emulated process keeps its local owners; stacking reproduces
+    # the full schedule (identical Pp/Pa padding on both processes)
+    parts = [
+        _metas_from_send(send_mp, N, C, br, range(p * 2, (p + 1) * 2))
+        for p in range(2)
+    ]
+    for name in ("pull_blocks", "pull_wins", "pull_wfirst",
+                 "apply_blocks", "apply_wins", "apply_first"):
+        np.testing.assert_array_equal(
+            getattr(ref, name),
+            np.concatenate([getattr(m, name) for m in parts], axis=0),
+            err_msg=name,
+        )
+
+
+def test_kernel_auto_resolves_pairs_multiprocess(monkeypatch):
+    """kernel=auto picks the pair kernels in multi-process TPU runs too
+    (round 2 silently fell back to xla there)."""
+    import jax as _jax
+
+    from difacto_tpu.parallel.store import _kernel_kind
+
+    cfg = Config.from_kwargs([
+        ("batch_size", "256"), ("num_bits", "13"), ("max_nnz_per_row", "16"),
+    ])
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    assert _kernel_kind(cfg) == "pairs"
