@@ -75,7 +75,11 @@ class DataParam(ParamBase):
     max_nnz_per_row: int = 64      # pad/truncate each example to this nnz
     num_bits: int = 22             # hashed feature space = 2**num_bits rows
     host_localize: bool = True     # dedup ids in the prefetch thread
-    prep_workers: int = 4          # threads for batch dedup/schedule prep
+    prep_workers: int = 0          # threads for batch dedup/schedule prep;
+                                   # 0 = auto (cpu_count - parse/batchify/
+                                   # main threads, capped at 4 — measured:
+                                   # oversubscribing a 4-core host HALVES
+                                   # ingest, BENCH.md round 3)
     batch_workers: int = 2         # threads for shard hash+[B,L] padding
                                    # (1 = serial; replays depend on it)
     cache_batches: bool = False    # keep epoch-0 prepped batches in RAM and

@@ -328,23 +328,28 @@ def _metas_from_send(
     Pp/Pa are computed over ALL owners so every process pads its stacked
     arrays to identical shapes — required by
     make_array_from_process_local_data)."""
-    from ..ops.pair_sweep import W, build_pair_meta
+    from ..ops.pair_sweep import (
+        PAIR_BUCKETS, W, _pairs_finish, _pairs_raw,
+    )
 
     S, C = send.shape[0], capacity
     rows_per_shard = num_rows // S
+    sent_win = (S * C) // W
     pulls, applies = [], []
     for o in range(S):
         # owner o's post-all_to_all local-id stream: source s's bucket in
         # segment s; sentinel global ids become the local sentinel
         g = send[:, o, :].reshape(S * C).astype(np.int64)
         stream = np.where(g >= num_rows, rows_per_shard, g - o * rows_per_shard)
-        pulls.append(build_pair_meta(
-            stream, rows_per_shard, block_rows, seg_len=C, order="window"
+        # the raw touched-pair discovery is shared; pull (window-major)
+        # and apply (block-major) are two orderings of the same list
+        blocks, wins, nseg = _pairs_raw(stream, rows_per_shard, block_rows, C)
+        pulls.append(_pairs_finish(
+            blocks, wins, nseg, sent_win, block_rows, PAIR_BUCKETS, "window"
         ))
-        applies.append(build_pair_meta(
-            stream, rows_per_shard, block_rows, seg_len=C, order="block"
+        applies.append(_pairs_finish(
+            blocks, wins, nseg, sent_win, block_rows, PAIR_BUCKETS, "block"
         ))
-    sent_win = (S * C) // W
     Pp = max(m.blocks.shape[0] for m in pulls)
     Pa = max(m.blocks.shape[0] for m in applies)
     pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []

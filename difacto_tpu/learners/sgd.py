@@ -16,6 +16,7 @@ data_val (pull + predict only, no push), epoch-end callbacks, model save.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable
 
 import jax
@@ -225,12 +226,16 @@ class SGDLearner:
                     fn = lambda b: prep_batch(
                         b, num_rows, min_ub=min_ub, num_fields=nf
                     )
-        if fn is not None and d.prep_workers > 1:
+        # prep_workers=0 -> auto: leave cores for the parse thread, the
+        # batchify pool and the main thread — oversubscribing a small
+        # host HALVES ingest (measured, BENCH.md round 3)
+        pw = d.prep_workers or min(4, max(1, (os.cpu_count() or 4) - 2))
+        if fn is not None and pw > 1:
             from ..utils.prefetch import MappedPrefetchIter
 
             # parse runs in its own thread; prep fans out to a pool
             out = MappedPrefetchIter(
-                ThreadedIter(src, depth=4), fn, workers=d.prep_workers
+                ThreadedIter(src, depth=4), fn, workers=pw
             )
         else:
             out = ThreadedIter(map(fn, src) if fn is not None else src, depth=4)

@@ -88,6 +88,78 @@ class PairMeta:
     block_rows: int
 
 
+def _pairs_raw(
+    uids: np.ndarray, num_rows: int, block_rows: int, seg_len: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(blocks, wins, n_segments_with_pairs) before ordering/padding —
+    shared by the window-order (pull) and block-order (apply) schedules
+    so multi-owner builders compute the touched-pair discovery once."""
+    ub = uids.shape[0]
+    nb = num_rows // block_rows
+    bounds = np.arange(nb + 1, dtype=np.int64) * block_rows
+    blocks_l: list[np.ndarray] = []
+    wins_l: list[np.ndarray] = []
+    for off in range(0, ub, seg_len):
+        seg = uids[off : off + seg_len]
+        n_valid = int(np.searchsorted(seg, num_rows, side="left"))
+        if n_valid == 0:
+            continue
+        lo = off + np.searchsorted(seg[:n_valid], bounds, side="left")
+        touched = np.nonzero(lo[1:] > lo[:-1])[0]  # blocks with >=1 id here
+        w0 = lo[touched] // W
+        w1 = (lo[touched + 1] - 1) // W
+        counts = (w1 - w0 + 1).astype(np.int64)
+        blk = np.repeat(touched.astype(np.int32), counts)
+        # wins = w0[b] + intra-run offset
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        blocks_l.append(blk)
+        wins_l.append((np.repeat(w0, counts) + offs).astype(np.int32))
+    if not blocks_l:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), 0
+    return np.concatenate(blocks_l), np.concatenate(wins_l), len(blocks_l)
+
+
+def _pairs_finish(
+    blocks: np.ndarray,
+    wins: np.ndarray,
+    nseg: int,
+    sent_win: int,
+    block_rows: int,
+    buckets,
+    order: str,
+) -> PairMeta:
+    """Order + pad one raw pair list into a PairMeta (see build_pair_meta)."""
+    if blocks.shape[0] == 0:
+        p = _bucket(1, buckets)
+        return PairMeta(
+            blocks=np.zeros(p, np.int32),
+            wins=np.full(p, sent_win, np.int32),
+            first=(np.arange(p) == 0).astype(np.int32),
+            wfirst=(np.arange(p) == 0).astype(np.int32),
+            block_rows=block_rows,
+        )
+    if nseg > 1 or order == "window":
+        key = (blocks, wins) if order == "window" else (wins, blocks)
+        o = np.lexsort(key)
+        blocks, wins = blocks[o], wins[o]
+    p_real = blocks.shape[0]
+    p = _bucket(p_real, buckets)
+    blocks = np.concatenate(
+        [blocks, np.full(p - p_real, blocks[-1], np.int32)]
+    )
+    wins = np.concatenate([wins, np.full(p - p_real, sent_win, np.int32)])
+    first = np.ones(p, np.int32)
+    first[1:] = blocks[1:] != blocks[:-1]
+    wfirst = np.ones(p, np.int32)
+    wfirst[1:] = wins[1:] != wins[:-1]
+    return PairMeta(
+        blocks=blocks, wins=wins, first=first, wfirst=wfirst,
+        block_rows=block_rows,
+    )
+
+
 def build_pair_meta(
     uids: np.ndarray,
     num_rows: int,
@@ -122,55 +194,9 @@ def build_pair_meta(
     if seg_len is None:
         seg_len = ub
     assert ub % seg_len == 0 and seg_len % W == 0
-    nb = num_rows // block_rows
-    bounds = np.arange(nb + 1, dtype=np.int64) * block_rows
-    blocks_l: list[np.ndarray] = []
-    wins_l: list[np.ndarray] = []
-    for off in range(0, ub, seg_len):
-        seg = uids[off : off + seg_len]
-        n_valid = int(np.searchsorted(seg, num_rows, side="left"))
-        if n_valid == 0:
-            continue
-        lo = off + np.searchsorted(seg[:n_valid], bounds, side="left")
-        touched = np.nonzero(lo[1:] > lo[:-1])[0]  # blocks with >=1 id here
-        w0 = lo[touched] // W
-        w1 = (lo[touched + 1] - 1) // W
-        counts = (w1 - w0 + 1).astype(np.int64)
-        blk = np.repeat(touched.astype(np.int32), counts)
-        # wins = w0[b] + intra-run offset
-        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        blocks_l.append(blk)
-        wins_l.append((np.repeat(w0, counts) + offs).astype(np.int32))
-    if not blocks_l:
-        p = _bucket(1, buckets)
-        return PairMeta(
-            blocks=np.zeros(p, np.int32),
-            wins=np.full(p, sent_win, np.int32),
-            first=(np.arange(p) == 0).astype(np.int32),
-            wfirst=(np.arange(p) == 0).astype(np.int32),
-            block_rows=block_rows,
-        )
-    blocks = np.concatenate(blocks_l)
-    wins = np.concatenate(wins_l)
-    if len(blocks_l) > 1 or order == "window":
-        key = (blocks, wins) if order == "window" else (wins, blocks)
-        o = np.lexsort(key)
-        blocks, wins = blocks[o], wins[o]
-    p_real = blocks.shape[0]
-    p = _bucket(p_real, buckets)
-    blocks = np.concatenate(
-        [blocks, np.full(p - p_real, blocks[-1], np.int32)]
-    )
-    wins = np.concatenate([wins, np.full(p - p_real, sent_win, np.int32)])
-    first = np.ones(p, np.int32)
-    first[1:] = blocks[1:] != blocks[:-1]
-    wfirst = np.ones(p, np.int32)
-    wfirst[1:] = wins[1:] != wins[:-1]
-    return PairMeta(
-        blocks=blocks, wins=wins, first=first, wfirst=wfirst,
-        block_rows=block_rows,
+    blocks, wins, nseg = _pairs_raw(uids, num_rows, block_rows, seg_len)
+    return _pairs_finish(
+        blocks, wins, nseg, sent_win, block_rows, buckets, order
     )
 
 
