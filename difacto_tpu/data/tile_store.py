@@ -65,24 +65,34 @@ class TileStore:
     def rows_per_shard(self) -> int:
         return self.n_pad // self.num_shards
 
-    def to_shard_order(self, per_row: np.ndarray, fill=0.0) -> np.ndarray:
-        """Map a [n] per-example vector into the [n_pad] shard-major
-        layout (device s's rows contiguous)."""
-        out = np.full(self.n_pad, fill, np.asarray(per_row).dtype)
+    def to_shard_order(
+        self, per_row: np.ndarray, fill=0.0, rows_per_shard: int | None = None
+    ) -> np.ndarray:
+        """Map a [n] per-example vector into the shard-major layout
+        (device s's rows contiguous). ``rows_per_shard`` may exceed the
+        local minimum (multi-host: every process pads its shards to the
+        globally agreed length)."""
+        rps = rows_per_shard or self.rows_per_shard
+        out = np.full(self.num_shards * rps, fill, np.asarray(per_row).dtype)
         g = np.arange(self.n)
-        out[(g % self.num_shards) * self.rows_per_shard + g // self.num_shards] = per_row
+        out[(g % self.num_shards) * rps + g // self.num_shards] = per_row
         return out
 
-    def from_shard_order(self, sharded: np.ndarray) -> np.ndarray:
+    def from_shard_order(
+        self, sharded: np.ndarray, rows_per_shard: int | None = None
+    ) -> np.ndarray:
         """Inverse of :meth:`to_shard_order` (drops padding)."""
+        rps = rows_per_shard or self.rows_per_shard
         g = np.arange(self.n)
         return np.asarray(sharded)[
-            (g % self.num_shards) * self.rows_per_shard + g // self.num_shards
+            (g % self.num_shards) * rps + g // self.num_shards
         ]
 
-    def fetch(self, block: int):
-        """[S, T] (local_row, local_col, value) for one feature block."""
-        S, T = self.num_shards, self.tile_nnz
+    def fetch(self, block: int, tile_nnz: int | None = None):
+        """[S, T] (local_row, local_col, value) for one feature block.
+        ``tile_nnz`` pads T beyond the local maximum (multi-host: all
+        processes must place identically shaped tile arrays)."""
+        S, T = self.num_shards, tile_nnz or self.tile_nnz
         tr = np.zeros((S, T), np.int32)
         tc = np.zeros((S, T), np.int32)
         tv = np.zeros((S, T), np.float32)

@@ -25,14 +25,26 @@ Redesign for one SPMD program (SURVEY.md §3.4):
   * per-epoch validation (data_val) scores the current w streaming and
     reports logloss + exact AUC, like the reference's validation jobs.
 
-BCD is single-host (multi-device): the tile build is a host-local
-stream. The linear model (V_dim must be 0) matches the reference: BCD
-exists for exact-sparsity linear CTR models, FM training uses SGD.
+Multi-host (round 3, reference: BCDLearner::PrepareData ran on every
+worker over its own data part): each process streams its OWN input
+parts (the dmlc InputSplit contract, same as the SGD learner) into a
+host-local tile store covering its LOCAL devices' row shards; the
+global block step is one shard_map over all devices, with tile arrays
+placed per-process (make_array_from_process_local_data) and w
+replicated. Three scalars are allgathered once after the build so all
+processes trace identical shapes (global tile_nnz, rows_per_shard,
+example count); block visit order is seed-deterministic, so every
+process executes the same collective sequence. Validation and the
+train exact-AUC gather (label, score) pairs across processes.
+
+The linear model (V_dim must be 0) matches the reference: BCD exists
+for exact-sparsity linear CTR models, FM training uses SGD.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import tempfile
 
 import jax
@@ -53,15 +65,17 @@ log = logging.getLogger("difacto_tpu")
 class BCDLearner:
     def __init__(self, cfg: Config, num_blocks: int | None = None):
         assert cfg.model.V_dim == 0, "BCD trains the linear model (V_dim=0)"
-        assert jax.process_count() == 1, "BCD is single-host (multi-device)"
         self.cfg = cfg
         self.num_rows = 1 << cfg.data.num_bits
         self.num_blocks = min(
             num_blocks or cfg.learner.bcd_num_blocks, self.num_rows
         )
+        self.nproc = jax.process_count()
         n_dev = cfg.shard.num_shards or len(jax.devices())
         self.mesh = jax.make_mesh((n_dev,), ("shard",))
         self.S = n_dev
+        assert self.S % self.nproc == 0
+        self.n_local = self.S // self.nproc
         self.epoch_callbacks = []
         self._prepare_data()
         self._build_steps()
@@ -70,12 +84,18 @@ class BCDLearner:
 
     def _batch_iter(self, uri: str):
         cfg = self.cfg
+        # each process reads its own disjoint byte-range parts of every
+        # file (dmlc InputSplit; same convention as the SGD learner)
+        nppf = max(cfg.data.num_parts_per_file, 1)
+        pid = jax.process_index()
         return BatchIter(
             uri,
             batch_size=cfg.data.batch_size,
             max_nnz=cfg.data.max_nnz_per_row,
             num_bits=cfg.data.num_bits,
             data_format=cfg.data.data_format,
+            part_index=range(pid * nppf, (pid + 1) * nppf),
+            num_parts=self.nproc * nppf,
         )
 
     def _prepare_data(self) -> None:
@@ -84,16 +104,36 @@ class BCDLearner:
         if not tile_dir:
             self._tmp = tempfile.TemporaryDirectory(prefix="difacto_tiles_")
             tile_dir = self._tmp.name
+        elif self.nproc > 1:
+            tile_dir = os.path.join(tile_dir, f"proc{jax.process_index()}")
+        # each process builds tiles for its LOCAL devices' row shards
+        # from its own input parts (reference: every worker's
+        # PrepareData tiles its own data part)
         self.tiles: TileStore = build_tiles(
             lambda: self._batch_iter(cfg.data.data_in),
             tile_dir,
             num_rows=self.num_rows,
             num_blocks=self.num_blocks,
-            num_shards=self.S,
+            num_shards=self.n_local,
         )
         self.rows_per_block = self.tiles.rows_per_block
-        self.n = self.tiles.n
         self.labels = self.tiles.labels
+        if self.nproc == 1:
+            self.n = self.tiles.n
+            self.tile_nnz = self.tiles.tile_nnz
+            self.shard_rows = self.tiles.rows_per_shard
+        else:
+            # agree on global shapes: every process must trace/place
+            # identically shaped arrays (one small allgather, build-time)
+            from jax.experimental import multihost_utils
+
+            locals_ = np.asarray(multihost_utils.process_allgather(np.array(
+                [self.tiles.n, self.tiles.tile_nnz, self.tiles.rows_per_shard],
+                np.int64,
+            )))
+            self.n = int(locals_[:, 0].sum())
+            self.tile_nnz = int(locals_[:, 1].max())
+            self.shard_rows = int(locals_[:, 2].max())
 
     # -- block step (reference: kIterateData + BCDUpdater) ------------------
 
@@ -151,19 +191,40 @@ class BCDLearner:
         self._score = jax.jit(score)
 
     def _place(self, x, spec):
-        return jax.device_put(x, NamedSharding(self.mesh, spec))
+        sh = NamedSharding(self.mesh, spec)
+        if self.nproc > 1:
+            # each process contributes its local shards (P('shard')) or
+            # its identical full copy (P() replicated)
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    def _local_shards(self, arr) -> np.ndarray:
+        """This process's rows of a P('shard') global array, in local
+        shard order (= this process's tile store's shard-major order)."""
+        if self.nproc == 1:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
     # -- validation (reference: the data_val jobs — pull+predict, no push) --
 
     def eval_pass(self, w, uri: str) -> Progress:
+        from .sgd import SGDLearner
+
+        # w is tiny (one f32 per table row): score with a host-local copy
+        # so per-process batches never mix with global arrays under jit
+        w_local = np.asarray(jax.device_get(w))
         pys, ys = [], []
         for batch in self._batch_iter(uri):
-            py = np.asarray(self._score(w, batch.ids, batch.vals))
+            py = np.asarray(self._score(w_local, batch.ids, batch.vals))
             keep = batch.mask > 0
             pys.append(py[keep])
             ys.append(batch.labels[keep])
-        y = np.concatenate(ys)
-        py = np.concatenate(pys)
+        y = np.concatenate(ys) if ys else np.zeros(0, np.float32)
+        py = np.concatenate(pys) if pys else np.zeros(0, np.float32)
+        y, py = SGDLearner._allgather_pairs(y, py)
         yy = np.where(y > 0, 1.0, -1.0).astype(np.float32)
         loss = np.logaddexp(0.0, -yy * py)
         from ..ops.metrics import NUM_AUC_BINS
@@ -191,22 +252,36 @@ class BCDLearner:
         from ..utils.prefetch import ThreadedIter
 
         return ThreadedIter(
-            ((int(b),) + self.tiles.fetch(int(b)) for b in order), depth=2
+            (
+                (int(b),) + self.tiles.fetch(int(b), tile_nnz=self.tile_nnz)
+                for b in order
+            ),
+            depth=2,
         )
 
     def run(self) -> Progress:
+        from .sgd import SGDLearner
+
         cfg = self.cfg
+        # seed-deterministic block order: every process visits blocks in
+        # the same sequence, so the collective order matches (multi-host)
         rng = np.random.default_rng(cfg.data.seed)
         w = self._place(np.zeros(self.num_rows, np.float32), P())
-        py = self._place(np.zeros(self.tiles.n_pad, np.float32), P("shard"))
+        n_loc = self.n_local * self.shard_rows
+        py = self._place(np.zeros(n_loc, np.float32), P("shard"))
         yy = self._place(
             self.tiles.to_shard_order(
-                np.where(self.labels > 0, 1.0, -1.0).astype(np.float32), fill=-1.0
+                np.where(self.labels > 0, 1.0, -1.0).astype(np.float32),
+                fill=-1.0, rows_per_shard=self.shard_rows,
             ),
             P("shard"),
         )
         mr = self._place(
-            self.tiles.to_shard_order(np.ones(self.n, np.float32)), P("shard")
+            self.tiles.to_shard_order(
+                np.ones(self.tiles.n, np.float32),
+                rows_per_shard=self.shard_rows,
+            ),
+            P("shard"),
         )
         tile_spec = P("shard", None)
         last = Progress()
@@ -228,9 +303,13 @@ class BCDLearner:
                 correct_sum=float(correct),
             )
             prog.nnz_w = float(jnp.sum(w != 0))
-            prog.exact_auc = exact_auc(
-                self.labels, self.tiles.from_shard_order(np.asarray(py))
+            y_tr, py_tr = SGDLearner._allgather_pairs(
+                self.labels,
+                self.tiles.from_shard_order(
+                    self._local_shards(py), rows_per_shard=self.shard_rows
+                ),
             )
+            prog.exact_auc = exact_auc(y_tr, py_tr)
             log.info(
                 "bcd epoch %d train: logloss %.6f auc %.6f acc %.4f |w|>0 %d",
                 epoch, prog.logloss, prog.exact_auc, prog.accuracy, int(prog.nnz_w),

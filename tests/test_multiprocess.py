@@ -335,3 +335,65 @@ def test_multiprocess_pairs_matches_xla(mp_run):
     # the exact-AUC allgather worked on the pairs path too
     for out in outs:
         assert "exact_auc" in out
+
+
+def test_multiprocess_bcd_matches_single_process(mp_run):
+    """BCD across hosts (round-2 missing item 5; reference:
+    BCDLearner::PrepareData ran on every worker over its own part): 2
+    processes tile their own input parts, run the global block steps in
+    lockstep, and the final w matches a single-process run of the same
+    config (the block update depends on GLOBAL g/h psums, invariant to
+    the row partition up to fp ordering)."""
+    tmp, _ = mp_run
+    overrides = [
+        "learner=bcd", "V_dim=0", "l1=0.05", "bcd_num_blocks=64",
+        "max_num_epochs=2",
+    ]
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            DIFACTO_NUM_CPU_DEVICES="2",
+            DIFACTO_COORDINATOR=f"localhost:{port}",
+            DIFACTO_NUM_PROCESSES="2",
+            DIFACTO_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+                    *overrides, f"model_out={tmp / 'mp_bcd'}",
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"bcd proc {pid} failed:\n{out[-4000:]}"
+    got = _load_sharded_full(str(tmp / "mp_bcd"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIFACTO_NUM_CPU_DEVICES="2")
+    ref_run = subprocess.run(
+        [
+            sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+            *overrides, f"model_out={tmp / 'sp_bcd'}",
+        ],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert ref_run.returncode == 0, ref_run.stdout + ref_run.stderr
+    ref = np.load(tmp / "sp_bcd.npz")
+    np.testing.assert_allclose(ref["w"], got["w"], rtol=2e-4, atol=2e-4)
+    # both processes report the same global validation AUC
+    for out in outs:
+        assert "bcd epoch 1 valid" in out
