@@ -156,6 +156,13 @@ class LocalStore:
     """Single-device store (reference: StoreLocal + local Tracker)."""
 
     def __init__(self, updater: FMUpdater, cfg: Config, interpret: bool = False):
+        if jax.process_count() > 1:
+            # each process would silently train its own model on its own
+            # input part (store=auto picks ShardedStore for multi-device)
+            raise ValueError(
+                "store=local cannot span processes; use store=sharded "
+                "(or store=auto) for multi-process runs"
+            )
         self.updater = updater
         self.cfg = cfg
         interpret = interpret or cfg.shard.interpret

@@ -43,3 +43,21 @@ def test_bad_line(tmp_path):
     conf.write_text("this is not a kv line\n")
     with pytest.raises(ValueError):
         arg_parser.read_file(str(conf))
+
+
+def test_local_store_rejects_multiprocess(monkeypatch):
+    """store=local under process_count > 1 would silently train one model
+    per process on its own input part — must fail fast instead."""
+    import jax
+    import pytest
+
+    from difacto_tpu.config import Config
+    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.updaters.updater import FMUpdater
+
+    cfg = Config.from_kwargs([
+        ("batch_size", "64"), ("num_bits", "10"), ("max_nnz_per_row", "4"),
+    ])
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="store=local cannot span"):
+        LocalStore(FMUpdater(cfg.model), cfg)
