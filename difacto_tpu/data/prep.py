@@ -86,6 +86,7 @@ class PreppedBatch:
     valid: np.ndarray    # bool [Ub]
     pair_meta: object = None  # ops.pair_sweep.PairMeta when kernel=pairs
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
+    fields_checked: bool = False  # range-validated at prep time (host)
 
     @property
     def num_examples(self) -> int:
@@ -195,6 +196,7 @@ def prep_batch(
         inv=inv.reshape(-1),
         valid=valid,
         fields=batch.fields,
+        fields_checked=num_fields > 0,
     )
 
 
@@ -225,6 +227,7 @@ class ShardPreppedBatch:
     num_shards: int
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
     pair_metas: object = None  # ShardPairMetas when kernel=pairs
+    fields_checked: bool = False  # range-validated at prep time (host)
 
     @property
     def num_examples(self) -> int:
@@ -258,21 +261,6 @@ class ShardPairMetas:
     apply_first: np.ndarray   # i32 [S, Pa]
     capacity: int
     block_rows: int
-
-
-def _pad_pair_arrays(blocks: np.ndarray, wins: np.ndarray, P: int, sent_win: int):
-    """Pad one owner's (blocks, wins) to P pairs with no-op pairs (last
-    real block x all-sentinel window) and derive the run-start flags —
-    the same construction ops.pair_sweep.build_pair_meta uses."""
-    p0 = blocks.shape[0]
-    if p0 < P:
-        blocks = np.concatenate([blocks, np.full(P - p0, blocks[-1], np.int32)])
-        wins = np.concatenate([wins, np.full(P - p0, sent_win, np.int32)])
-    first = np.ones(P, np.int32)
-    first[1:] = blocks[1:] != blocks[:-1]
-    wfirst = np.ones(P, np.int32)
-    wfirst[1:] = wins[1:] != wins[:-1]
-    return blocks, wins, first, wfirst
 
 
 def shard_bucket_fills(pb: ShardPreppedBatch, num_rows: int) -> np.ndarray:
@@ -328,36 +316,36 @@ def _metas_from_send(
     Pp/Pa are computed over ALL owners so every process pads its stacked
     arrays to identical shapes — required by
     make_array_from_process_local_data)."""
-    from ..ops.pair_sweep import (
-        PAIR_BUCKETS, W, _pairs_finish, _pairs_raw,
-    )
+    from ..ops.pair_sweep import W, _bucket, _pairs_finish, _pairs_raw
 
     S, C = send.shape[0], capacity
     rows_per_shard = num_rows // S
     sent_win = (S * C) // W
-    pulls, applies = [], []
+    # the raw touched-pair discovery runs for EVERY owner (the padded
+    # pair count must be agreed over all of them — every process holds
+    # the same send matrix), but the lexsort+pad finishing runs only for
+    # the owners this process keeps. Pull (window-major) and apply
+    # (block-major) are two orderings of the SAME raw list, so one P
+    # serves both.
+    raws = []
     for o in range(S):
         # owner o's post-all_to_all local-id stream: source s's bucket in
         # segment s; sentinel global ids become the local sentinel
         g = send[:, o, :].reshape(S * C).astype(np.int64)
         stream = np.where(g >= num_rows, rows_per_shard, g - o * rows_per_shard)
-        # the raw touched-pair discovery is shared; pull (window-major)
-        # and apply (block-major) are two orderings of the same list
-        blocks, wins, nseg = _pairs_raw(stream, rows_per_shard, block_rows, C)
-        pulls.append(_pairs_finish(
-            blocks, wins, nseg, sent_win, block_rows, PAIR_BUCKETS, "window"
-        ))
-        applies.append(_pairs_finish(
-            blocks, wins, nseg, sent_win, block_rows, PAIR_BUCKETS, "block"
-        ))
-    Pp = max(m.blocks.shape[0] for m in pulls)
-    Pa = max(m.blocks.shape[0] for m in applies)
+        raws.append(_pairs_raw(stream, rows_per_shard, block_rows, C))
+    P = _bucket(max(max(r[0].shape[0] for r in raws), 1))
     pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []
     for o in keep:
-        b, w, _, wf = _pad_pair_arrays(pulls[o].blocks, pulls[o].wins, Pp, sent_win)
-        pb_l.append(b); pw_l.append(w); pwf_l.append(wf)
-        b, w, f, _ = _pad_pair_arrays(applies[o].blocks, applies[o].wins, Pa, sent_win)
-        ab_l.append(b); aw_l.append(w); af_l.append(f)
+        blocks, wins, nseg = raws[o]
+        m = _pairs_finish(
+            blocks, wins, nseg, sent_win, block_rows, (P,), "window"
+        )
+        pb_l.append(m.blocks); pw_l.append(m.wins); pwf_l.append(m.wfirst)
+        m = _pairs_finish(
+            blocks, wins, nseg, sent_win, block_rows, (P,), "block"
+        )
+        ab_l.append(m.blocks); aw_l.append(m.wins); af_l.append(m.first)
     return ShardPairMetas(
         pull_blocks=np.stack(pb_l), pull_wins=np.stack(pw_l),
         pull_wfirst=np.stack(pwf_l),
@@ -488,4 +476,5 @@ def prep_batch_sharded(
         ub=ub,
         num_shards=num_shards,
         fields=batch.fields,
+        fields_checked=num_fields > 0,
     )

@@ -213,9 +213,13 @@ class BCDLearner:
     def eval_pass(self, w, uri: str) -> Progress:
         from .sgd import SGDLearner
 
-        # w is tiny (one f32 per table row): score with a host-local copy
-        # so per-process batches never mix with global arrays under jit
-        w_local = np.asarray(jax.device_get(w))
+        # score with a process-LOCAL committed copy of w so per-process
+        # batches never mix with global arrays under jit; device_put once
+        # (a raw ndarray argument would re-ship the whole table
+        # host->device on every batch — tens of MB per call)
+        w_local = jax.device_put(
+            np.asarray(jax.device_get(w)), jax.local_devices()[0]
+        )
         pys, ys = [], []
         for batch in self._batch_iter(uri):
             py = np.asarray(self._score(w_local, batch.ids, batch.vals))

@@ -57,19 +57,11 @@ def _require_fields(fields, num_fields: int):
     """Validate explicit libffm fields host-side: present, and in
     [0, num_fields) — the loss clips field ids into range, so an
     out-of-range id (num_fields set too small, or a malformed file)
-    would otherwise train a silently wrong model."""
-    if fields is None:
-        raise ValueError(
-            "num_fields > 0 but this batch carries no field ids "
-            "(use data_format=libffm)"
-        )
-    if isinstance(fields, np.ndarray) and fields.size:
-        fmax = int(fields.max())
-        if fmax >= num_fields:
-            raise ValueError(
-                f"libffm field id {fmax} out of range: num_fields="
-                f"{num_fields} (fields must be in [0, num_fields))"
-            )
+    would otherwise train a silently wrong model. One implementation,
+    shared with the prep-time check (data/prep.py)."""
+    from ..data.prep import validate_fields
+
+    validate_fields(fields, num_fields)
     return fields
 
 
@@ -316,10 +308,14 @@ class LocalStore:
 
     def _batch_fields(self, pb):
         """The per-slot field array a step should see (None unless the
-        config declares explicit libffm fields)."""
+        config declares explicit libffm fields). Skips the O(B*L) range
+        re-check when prep already validated this batch."""
         if not self.expects_fields:
             return None
-        return _require_fields(getattr(pb, "fields", None), self.num_fields)
+        fields = getattr(pb, "fields", None)
+        if getattr(pb, "fields_checked", False) and fields is not None:
+            return fields
+        return _require_fields(fields, self.num_fields)
 
     def train_step_prepped(self, state, pb):
         fields = self._batch_fields(pb)
@@ -658,7 +654,10 @@ class ShardedStore:
         arrays = (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
                   pb.valid, pb.dropped)
         if self.expects_fields:
-            arrays += (_require_fields(pb.fields, self.num_fields),)
+            f = pb.fields
+            if not (getattr(pb, "fields_checked", False) and f is not None):
+                f = _require_fields(f, self.num_fields)
+            arrays += (f,)
         return self._cached_place(
             pb, "base", lambda: self._place(arrays, self._prepped_specs)
         )

@@ -144,12 +144,16 @@ def _extract_range(
     what: str,
 ) -> np.ndarray:
     """Assemble one target index range from (possibly differently-sliced)
-    saved pieces — the topology-agnostic re-slicing. Saved shard ranges
-    are disjoint, so element coverage is checked by count."""
+    saved pieces — the topology-agnostic re-slicing. Coverage is checked
+    by element count; when pieces overlap (a replicated leaf saved by
+    several processes writes identical full-range pieces), the count is
+    re-derived from an explicit coverage mask so an overlap can never
+    stand in for a gap."""
     tgt_shape = tuple(sl.stop - sl.start for sl in index)
     out = np.zeros(tgt_shape, dtype)
     want = int(np.prod(tgt_shape))
     filled = 0
+    hits: list[tuple[slice, ...]] = []
     for src, arr in pieces:
         inter = tuple(
             slice(max(a.start, b.start), min(a.stop, b.stop))
@@ -166,7 +170,13 @@ def _extract_range(
             for s, c in zip(inter, src)
         )
         out[dst_sl] = arr[src_sl]
+        hits.append(dst_sl)
         filled += int(np.prod([s.stop - s.start for s in inter]))
+    if filled > want:  # overlapping pieces: count the union exactly
+        mask = np.zeros(tgt_shape, bool)
+        for dst_sl in hits:
+            mask[dst_sl] = True
+        filled = int(mask.sum())
     if filled < want:
         raise ValueError(
             f"checkpoint shard files do not cover {what}"
@@ -200,6 +210,18 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
         files = expand_uri(path_prefix + ".proc*.npz")
     else:
         files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
+    npc = meta.get("process_count")
+    if npc:
+        # only this save's files: an earlier save to the same prefix from
+        # MORE processes leaves stale proc{>=npc} files whose ranges the
+        # count-based coverage check could not tell apart from fresh data
+        def _proc_of(fp: str) -> int:
+            try:
+                return int(fp.rsplit(".proc", 1)[1].split(".")[0])
+            except (IndexError, ValueError):
+                return -1
+
+        files = [f for f in files if 0 <= _proc_of(f) < npc]
     if not files:
         raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
     available: dict[str, list] = {name: [] for name in _LEAVES}
@@ -210,20 +232,22 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
                 available[name].append((sls, zf[k]))
 
     if not hasattr(store, "fmstate_placement"):
-        # single-device store (LocalStore): reassemble the full arrays
+        # single-device store (LocalStore): reassemble the full arrays at
+        # the STORE's expected shapes (inferring them from whatever proc
+        # files are present would silently truncate the model when the
+        # top-range files are missing)
+        shapes = jax.eval_shape(
+            lambda: store.updater.init_state(store.num_rows, 0)
+        )
         full = {}
         for name in _LEAVES:
             pieces = available[name]
-            if not pieces:
+            shape = getattr(shapes, name).shape
+            if not pieces and int(np.prod(shape)):
                 raise ValueError(f"checkpoint {path_prefix} lacks leaf {name}")
-            ndim = len(pieces[0][0])
-            shape = tuple(
-                max(sls[d].stop for sls, _ in pieces) for d in range(ndim)
-            )
             index = tuple(slice(0, dim) for dim in shape)
-            full[name] = _extract_range(
-                pieces, index, pieces[0][1].dtype, name + "@"
-            )
+            dtype = pieces[0][1].dtype if pieces else np.float32
+            full[name] = _extract_range(pieces, index, dtype, name + "@")
         return store.place_state(FMState(**full)), meta
 
     shapes, shardings = store.fmstate_placement()

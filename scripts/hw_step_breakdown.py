@@ -93,7 +93,8 @@ def main() -> int:
             rows_u, loc, vals, labels, mask, loss="fm")
         return py
 
-    t_pull_f = timeit(lambda: jax.jit(fwd_only)(state), fetch)
+    j_fwd_only = jax.jit(fwd_only)
+    t_pull_f = timeit(lambda: j_fwd_only(state), fetch)
 
     # apply alone, fixed payload
     rng = np.random.default_rng(0)
@@ -118,7 +119,8 @@ def main() -> int:
                          block_rows=1024)
         return s2.w, metrics.logloss_sum
 
-    t_full = timeit(lambda: jax.jit(full)(state), fetch)
+    j_full = jax.jit(full)
+    t_full = timeit(lambda: j_full(state), fetch)
 
     print(f"pull kernel alone:        {t_pull:7.2f} ms")
     print(f"pull + fwd (eval path):   {t_pull_f:7.2f} ms "

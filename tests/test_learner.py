@@ -358,3 +358,36 @@ def test_sharded_checkpoint_topology_agnostic_load(data, tmp_path, monkeypatch):
 
     with _pytest.raises(FileNotFoundError):
         checkpoint.load_for_store(prefix, st4)
+
+
+def test_sharded_checkpoint_ignores_stale_proc_files(data, tmp_path, monkeypatch):
+    """A later save to the same prefix from fewer processes must not let
+    an earlier save's leftover proc files (higher ranks) overwrite fresh
+    ranges: load restricts the file set to meta['process_count']."""
+    from helpers import fm_leaves
+
+    from difacto_tpu.utils import checkpoint
+
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    learner.train_epoch(0)
+    ref = fm_leaves(learner.state)
+
+    prefix = str(tmp_path / "stale")
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, learner.state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+
+    # leftover file from a hypothetical earlier 8-process save: garbage
+    # covering ranges the fresh save also covers
+    n = np.asarray(ref.w).shape[0]
+    np.savez(
+        prefix + ".proc5.npz",
+        **{f"w@{n // 2}:{n}": np.full(n - n // 2, 777.0, np.float32)},
+    )
+
+    restored, _ = checkpoint.load_for_store(prefix, learner.store)
+    np.testing.assert_array_equal(
+        np.asarray(ref.w), np.asarray(fm_leaves(restored).w)
+    )
