@@ -132,3 +132,44 @@ def test_remote_checkpoint_roundtrip():
         np.testing.assert_array_equal(
             getattr(loaded, k), np.asarray(getattr(st, k)), err_msg=k
         )
+
+
+def test_remote_sharded_checkpoint_topology_change(monkeypatch):
+    """Sharded proc files on an object store restore onto a different
+    topology: exercises expand_uri on the proc* glob, the process_count
+    file filter, and the range re-slicer over remote streams."""
+    import jax
+
+    from difacto_tpu.config import Config
+    from difacto_tpu.parallel.store import LocalStore, ShardedStore
+    from difacto_tpu.updaters.updater import FMUpdater
+    from difacto_tpu.utils import checkpoint
+
+    cfg = Config.from_kwargs([
+        ("batch_size", "64"), ("num_bits", "10"), ("max_nnz_per_row", "4"),
+        ("V_dim", "2"),
+    ])
+    store = ShardedStore(FMUpdater(cfg.model), cfg)
+    state = store.init_state(3)
+    prefix = "memory://ckpt/topo"
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+    fs = fsspec.filesystem("memory")
+    assert fs.exists("/ckpt/topo.proc0.npz")
+
+    from helpers import fm_leaves
+
+    loc = LocalStore(FMUpdater(cfg.model), cfg)
+    restored, meta = checkpoint.load_for_store(prefix, loc)
+    assert meta["sharded"]
+    ref = fm_leaves(state)
+    got = fm_leaves(restored)
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=name,
+        )
+    fs.rm("/ckpt", recursive=True)

@@ -251,3 +251,24 @@ def test_kernel_auto_resolves_pairs_multiprocess(monkeypatch):
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
     assert _kernel_kind(cfg) == "pairs"
+
+
+def test_unique_size_pins_pairs_capacity():
+    """An explicit unique_size floors the sharded pairs all_to_all
+    capacity: batches with different bucket fills land on ONE capacity
+    (= one jit/Mosaic specialization — mid-epoch compiles cost minutes
+    on a remote compile service), while a pathological batch above the
+    floor still gets the next ladder rung (correctness first)."""
+    prs = _mk(2, "pairs", True, unique_size=512)
+    caps = set()
+    for seed in (1, 2, 3):
+        for b in _batches(256, seed=seed):
+            pb = prep_batch_sharded(b, prs.num_rows, prs.S, buckets=BUCKETS)
+            caps.add(prs.pairs_capacity(pb))
+    assert len(caps) == 1, caps
+    # the pinned capacity honors the configured floor
+    assert caps.pop() >= prs._capacity_for(512)
+
+    # without the pin, the same batches may produce several capacities
+    free = _mk(2, "pairs", True)
+    assert free.cfg.shard.unique_size == 0
