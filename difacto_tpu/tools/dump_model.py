@@ -24,7 +24,7 @@ from ..utils import checkpoint
 
 
 def dump(prefix: str, out, limit: int = 0, include_all: bool = False) -> int:
-    state, meta = checkpoint.load(prefix)
+    state, meta = checkpoint.load_full(prefix)
     w = np.asarray(state.w)
     v = np.asarray(state.V)  # planar [K, N]
     cnt = np.asarray(state.cnt)

@@ -24,7 +24,7 @@ from ..utils import checkpoint
 
 
 def stats(prefix: str, shards: int = 0, topk: int = 10) -> dict:
-    state, _ = checkpoint.load(prefix)
+    state, _ = checkpoint.load_full(prefix)
     cnt = np.asarray(state.cnt, dtype=np.float64)
     n = len(cnt)
     touched = cnt > 0

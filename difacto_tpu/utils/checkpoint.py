@@ -187,6 +187,60 @@ def _extract_range(
     return out
 
 
+def _sharded_pieces(path_prefix: str, meta: dict) -> dict[str, list]:
+    """Collect (slice, array) pieces per leaf from this save's proc files
+    (restricted to meta['process_count'] so stale higher-rank files from
+    an earlier save to the same prefix are ignored)."""
+    if is_remote(path_prefix):
+        from ..data.io import expand_uri
+
+        files = expand_uri(path_prefix + ".proc*.npz")
+    else:
+        files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
+    npc = meta.get("process_count")
+    if npc:
+        def _proc_of(fp: str) -> int:
+            try:
+                return int(fp.rsplit(".proc", 1)[1].split(".")[0])
+            except (IndexError, ValueError):
+                return -1
+
+        files = [f for f in files if 0 <= _proc_of(f) < npc]
+    if not files:
+        raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
+    available: dict[str, list] = {name: [] for name in _LEAVES}
+    for fp in files:
+        with _open_npz(fp) as zf:
+            for k in zf.files:
+                name, sls = _parse_index_key(k)
+                available[name].append((sls, zf[k]))
+    return available
+
+
+def load_full(path_prefix: str) -> tuple[FMState, dict]:
+    """Host FMState from either layout (single-file or sharded) — for
+    inspection tools that have no store to infer shapes from; sharded
+    shapes are taken from the saved ranges themselves."""
+    meta = _read_meta(path_prefix)
+    if not meta.get("sharded"):
+        return load(path_prefix)
+    available = _sharded_pieces(path_prefix, meta)
+    full = {}
+    for name in _LEAVES:
+        pieces = available[name]
+        if not pieces:
+            raise ValueError(f"checkpoint {path_prefix} lacks leaf {name}")
+        ndim = len(pieces[0][0])
+        shape = tuple(
+            max(sls[d].stop for sls, _ in pieces) for d in range(ndim)
+        )
+        index = tuple(slice(0, dim) for dim in shape)
+        full[name] = _extract_range(
+            pieces, index, pieces[0][1].dtype, name + "@"
+        )
+    return FMState(**full), meta
+
+
 def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
     """Load a checkpoint and place it according to ``store``'s sharding.
 
@@ -204,32 +258,7 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
         host_state, meta = load(path_prefix)
         return store.place_state(host_state), meta
 
-    if is_remote(path_prefix):
-        from ..data.io import expand_uri
-
-        files = expand_uri(path_prefix + ".proc*.npz")
-    else:
-        files = sorted(_glob.glob(path_prefix + ".proc*.npz"))
-    npc = meta.get("process_count")
-    if npc:
-        # only this save's files: an earlier save to the same prefix from
-        # MORE processes leaves stale proc{>=npc} files whose ranges the
-        # count-based coverage check could not tell apart from fresh data
-        def _proc_of(fp: str) -> int:
-            try:
-                return int(fp.rsplit(".proc", 1)[1].split(".")[0])
-            except (IndexError, ValueError):
-                return -1
-
-        files = [f for f in files if 0 <= _proc_of(f) < npc]
-    if not files:
-        raise FileNotFoundError(f"no shard files match {path_prefix}.proc*.npz")
-    available: dict[str, list] = {name: [] for name in _LEAVES}
-    for fp in files:
-        with _open_npz(fp) as zf:
-            for k in zf.files:
-                name, sls = _parse_index_key(k)
-                available[name].append((sls, zf[k]))
+    available = _sharded_pieces(path_prefix, meta)
 
     if not hasattr(store, "fmstate_placement"):
         # single-device store (LocalStore): reassemble the full arrays at
