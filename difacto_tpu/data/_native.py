@@ -43,12 +43,49 @@ def _load():
     ]
     lib.dft_free.restype = None
     lib.dft_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "dft_localize"):  # older .so builds lack it
+        lib.dft_localize.restype = ctypes.c_int
+        lib.dft_localize.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,                         # n
+            ctypes.c_int32,                         # num_rows
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),   # inv
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),   # uids
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),   # counts
+            ctypes.POINTER(ctypes.c_int64),         # out: n_unique
+        ]
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def localize_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dft_localize")
+
+
+def localize(keys: np.ndarray, num_rows: int):
+    """Native radix dedup + inverse (csrc/localizer.cpp — the reference
+    Localizer's C++ counterpart). ``keys`` i32 [n], negatives = padding.
+    Returns (uids [nu] i32 sorted asc incl. trailing sentinel when pads
+    exist, inv [n] i32, counts [nu] i64) — the _localize_ids contract."""
+    lib = _load()
+    n = keys.shape[0]
+    inv = np.empty(n, np.int32)
+    uids = np.empty(n, np.int32)
+    counts = np.empty(n, np.int64)
+    nu = ctypes.c_int64()
+    rc = lib.dft_localize(
+        np.ascontiguousarray(keys, np.int32), n, num_rows,
+        inv, uids, counts, ctypes.byref(nu),
+    )
+    if rc != 0:
+        raise RuntimeError(f"dft_localize failed (code {rc})")
+    u = nu.value
+    return uids[:u], inv, counts[:u]
 
 
 def parse_libsvm(data: bytes, nthreads: int = 0):

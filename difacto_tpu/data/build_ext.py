@@ -1,10 +1,10 @@
-"""Build the native libsvm parser: ``python -m difacto_tpu.data.build_ext``.
+"""Build the native ingest library: ``python -m difacto_tpu.data.build_ext``.
 
-Compiles ``csrc/libsvm_parser.cpp`` into ``difacto_tpu/data/_libsvm_native.so``
-with g++ (no external deps). Everything degrades to the NumPy engine when
-the library is absent, so this is optional but recommended for ingest
-throughput (the reference's dmlc-core parser is native C++ for the same
-reason).
+Compiles ``csrc/libsvm_parser.cpp`` + ``csrc/localizer.cpp`` into
+``difacto_tpu/data/_libsvm_native.so`` with g++ (no external deps).
+Everything degrades to the NumPy engines when the library is absent, so
+this is optional but recommended for ingest throughput (the reference's
+dmlc-core parser and localizer are native C++ for the same reason).
 """
 
 from __future__ import annotations
@@ -17,11 +17,14 @@ import sys
 def build(verbose: bool = True) -> str | None:
     here = os.path.dirname(os.path.abspath(__file__))
     repo = os.path.dirname(os.path.dirname(here))
-    src = os.path.join(repo, "csrc", "libsvm_parser.cpp")
+    srcs = [
+        os.path.join(repo, "csrc", "libsvm_parser.cpp"),
+        os.path.join(repo, "csrc", "localizer.cpp"),
+    ]
     out = os.path.join(here, "_libsvm_native.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", src, "-o", out,
+        "-pthread", *srcs, "-o", out,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -115,10 +115,25 @@ def _localize_ids(ids: np.ndarray, num_rows: int):
     flat = ids.reshape(-1)
     if flat.dtype != np.int32:
         flat = flat.astype(np.int32)
-    keys = np.where(flat < 0, np.int32(num_rows), flat)
-    if len(keys) == 0:
+    if len(flat) == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.int64), False, 0)
+    if num_rows > _LUT_MAX_ROWS and len(flat) >= 4096:
+        from . import _native
+
+        if _native.localize_available():
+            # native index-tracking radix (csrc/localizer.cpp): O(batch)
+            # memory at ANY table size. Engine choice is measured
+            # (BENCH.md): below the LUT cap the numpy sort+LUT inverse
+            # wins on power-law batches (10.0 vs 13.7 ms flagship);
+            # above it the native radix beats the searchsorted fallback
+            # 12x (15.4 vs 182.8 ms at 2^26 uniform). Parity pinned by
+            # tests/test_native_parser.py.
+            uids, inv, counts = _native.localize(flat, num_rows)
+            has_sentinel = bool(len(uids)) and uids[-1] == num_rows
+            n_real = len(uids) - int(has_sentinel)
+            return uids, inv, counts, has_sentinel, n_real
+    keys = np.where(flat < 0, np.int32(num_rows), flat)
     sk = np.sort(keys)  # radix for int32
     first = np.empty(len(sk), bool)
     first[0] = True

@@ -96,3 +96,54 @@ def test_multithreaded_consistency(native):
 def test_malformed_returns_error(native):
     with pytest.raises(ValueError):
         native.parse_libsvm(b"not a number at all\n")
+
+
+def test_native_localize_parity():
+    """csrc/localizer.cpp (the reference Localizer's C++ counterpart)
+    must reproduce the NumPy engine exactly: same sorted uniques, counts,
+    and slot->lane inverse, including padding sentinels — at table sizes
+    on both sides of the LUT cap."""
+    import numpy as np
+    import pytest
+
+    from difacto_tpu.data import _native
+
+    if not _native.localize_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(4)
+    for bits, n in ((10, 5000), (22, 100_000), (26, 100_000)):
+        N = 1 << bits
+        ids = rng.integers(0, N, n).astype(np.int32)
+        ids[rng.random(n) < 0.15] = -1
+        u1, i1, c1 = _native.localize(ids, N)
+        keys = np.where(ids < 0, np.int32(N), ids)
+        u2, i2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
+        np.testing.assert_array_equal(u1, u2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(i1, i2)
+
+
+def test_localize_ids_native_path_matches_numpy():
+    """prep._localize_ids must be engine-independent: force both paths
+    over the same >2^24 table and compare the full contract."""
+    import numpy as np
+    import pytest
+
+    import difacto_tpu.data._native as nat
+    import difacto_tpu.data.prep as prep
+
+    if not nat.localize_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(5)
+    N = 1 << 25
+    ids = rng.integers(0, N, (512, 16)).astype(np.int32)
+    ids[rng.random((512, 16)) < 0.1] = -1
+    got = prep._localize_ids(ids, N)  # native path (N > LUT cap)
+    orig = nat.localize_available
+    nat.localize_available = lambda: False
+    try:
+        ref = prep._localize_ids(ids, N)  # numpy searchsorted path
+    finally:
+        nat.localize_available = orig
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
