@@ -397,3 +397,64 @@ def test_multiprocess_bcd_matches_single_process(mp_run):
     # both processes report the same global validation AUC
     for out in outs:
         assert "bcd epoch 1 valid" in out
+
+
+def test_multiprocess_ffm_pairs(mp_run):
+    """FFM (explicit libffm fields) through the multi-process pairs path:
+    fields ride the prepped placement and the owner-side schedules in
+    lockstep; 2-process final state matches the 2-process xla run."""
+    tmp, _ = mp_run
+    from difacto_tpu.data.synthetic import make_ctr_data, write_libffm
+
+    blk = make_ctr_data(
+        1024, num_fields=6, vocab_per_field=150, seed=11,
+        with_fields=True, shuffle_slots=True,
+    )
+    write_libffm(blk, str(tmp / "train.ffm"))
+    overrides = [
+        f"data_in={tmp / 'train.ffm'}", "data_val=",
+        "data_format=libffm", "loss=ffm", "num_fields=6", "V_dim=2",
+        "max_num_epochs=1", "batch_size=256",
+    ]
+
+    def run(extra, out_prefix):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                DIFACTO_NUM_CPU_DEVICES="2",
+                DIFACTO_COORDINATOR=f"localhost:{port}",
+                DIFACTO_NUM_PROCESSES="2",
+                DIFACTO_PROCESS_ID=str(pid),
+            )
+            procs.append(subprocess.Popen(
+                [
+                    sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+                    *overrides, *extra, f"model_out={tmp / out_prefix}",
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"ffm proc {pid} failed:\n{out[-4000:]}"
+
+    run(["kernel=pairs", "interpret=1"], "mp_ffm_pairs")
+    run(["kernel=xla"], "mp_ffm_xla")
+    a = _load_sharded_full(str(tmp / "mp_ffm_pairs"))
+    b = _load_sharded_full(str(tmp / "mp_ffm_xla"))
+    for name in ("w", "V", "cnt"):
+        if b[name].size:
+            np.testing.assert_allclose(
+                b[name], a[name], rtol=2e-4, atol=2e-4, err_msg=name
+            )
