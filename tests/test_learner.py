@@ -391,3 +391,22 @@ def test_sharded_checkpoint_ignores_stale_proc_files(data, tmp_path, monkeypatch
     np.testing.assert_array_equal(
         np.asarray(ref.w), np.asarray(fm_leaves(restored).w)
     )
+
+
+def test_tools_read_sharded_checkpoints(data, tmp_path, monkeypatch):
+    """dump_model/table_stats work on the per-process sharded layout via
+    checkpoint.load_full (reassembles the full state host-side)."""
+    from difacto_tpu.tools.table_stats import stats
+    from difacto_tpu.utils import checkpoint
+
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    learner.train_epoch(0)
+    prefix = str(tmp_path / "toolck")
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, learner.state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+    out = stats(prefix, shards=8)
+    assert out["rows"] == 1 << 16 and out["touched"] > 0
+    assert "shard_load" in out
