@@ -291,19 +291,40 @@ def main():
     retries = int(os.environ.get("BENCH_HEALTH_RETRIES", 0))
     sleep_s = float(os.environ.get("BENCH_HEALTH_SLEEP", 600))
     # bounded pre-probe: when the backend is wedged at init, short probes
-    # (+brief waits, BENCH_TPU_WAIT_S total) beat burning the 900 s child
-    # budget against a hang — and a runtime that recovers mid-wait still
-    # yields a real number
-    wait_cap = float(os.environ.get("BENCH_TPU_WAIT_S", 300))
-    if not os.environ.get("BENCH_CPU"):
-        waited = 0.0
-        while not _probe_backend() and waited < wait_cap:
+    # (+brief waits, BENCH_TPU_WAIT_S total wall) beat burning the 900 s
+    # child budget against a hang — and stacking killed clients on a
+    # wedged runtime can EXTEND the wedge (CLAUDE.md), so if the backend
+    # never comes up the error JSON is emitted immediately, with no
+    # child runs. BENCH_TPU_WAIT_S=0 disables the probe entirely.
+    wait_cap = float(os.environ.get("BENCH_TPU_WAIT_S", 240))
+    if wait_cap > 0 and not os.environ.get("BENCH_CPU"):
+        t_probe = time.monotonic()
+        up = _probe_backend()
+        while not up and time.monotonic() - t_probe < wait_cap:
             print(
-                json.dumps({"note": f"backend unavailable; waited {waited:.0f}s"}),
+                json.dumps({
+                    "note": "backend unavailable; waited "
+                    f"{time.monotonic() - t_probe:.0f}s"
+                }),
                 file=sys.stderr, flush=True,
             )
-            time.sleep(60)
-            waited += 180  # probe (~120 s when hung) + sleep
+            time.sleep(30)
+            up = _probe_backend()
+        if not up:
+            print(
+                json.dumps(
+                    {
+                        "metric": "fm_k16_train_examples_per_sec",
+                        "value": 0,
+                        "unit": "examples/s/chip",
+                        "vs_baseline": 0,
+                        "error": "TPU backend unavailable (wedged runtime?) "
+                        f"after {time.monotonic() - t_probe:.0f}s of probing",
+                    }
+                ),
+                flush=True,
+            )
+            return
     r, err = _run_child(budget)
     if r is None and "BENCH_KERNEL" not in os.environ:
         # default pairs path failed (cold Mosaic kernel cache can push a

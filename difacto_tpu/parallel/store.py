@@ -65,6 +65,16 @@ def _require_fields(fields, num_fields: int):
     return fields
 
 
+def _prepped_fields(pb, num_fields: int):
+    """Fields of a prepped batch, skipping the O(B*L) range re-check when
+    prep already validated them host-side (the one skip rule, shared by
+    both stores)."""
+    f = getattr(pb, "fields", None)
+    if getattr(pb, "fields_checked", False) and f is not None:
+        return f
+    return _require_fields(f, num_fields)
+
+
 def _cap_ladder(c: int) -> int:
     """Round a capacity up a ~1.5x geometric ladder of 128-multiples so
     per-batch capacities land on few distinct values (each distinct value
@@ -308,14 +318,10 @@ class LocalStore:
 
     def _batch_fields(self, pb):
         """The per-slot field array a step should see (None unless the
-        config declares explicit libffm fields). Skips the O(B*L) range
-        re-check when prep already validated this batch."""
+        config declares explicit libffm fields)."""
         if not self.expects_fields:
             return None
-        fields = getattr(pb, "fields", None)
-        if getattr(pb, "fields_checked", False) and fields is not None:
-            return fields
-        return _require_fields(fields, self.num_fields)
+        return _prepped_fields(pb, self.num_fields)
 
     def train_step_prepped(self, state, pb):
         fields = self._batch_fields(pb)
@@ -654,10 +660,7 @@ class ShardedStore:
         arrays = (pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts, pb.inv,
                   pb.valid, pb.dropped)
         if self.expects_fields:
-            f = pb.fields
-            if not (getattr(pb, "fields_checked", False) and f is not None):
-                f = _require_fields(f, self.num_fields)
-            arrays += (f,)
+            arrays += (_prepped_fields(pb, self.num_fields),)
         return self._cached_place(
             pb, "base", lambda: self._place(arrays, self._prepped_specs)
         )

@@ -83,6 +83,12 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
     if not is_remote(path_prefix):
         os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}
+    # global leaf shapes: lets topology-agnostic loads detect MISSING
+    # ranges (shape inference from whatever files exist would silently
+    # truncate when a top-range proc file is lost)
+    full_meta["shapes"] = {
+        k: list(getattr(state, k).shape) for k in _LEAVES
+    }
     if jax.process_count() == 1:
         host = jax.device_get(state)
         npz = path_prefix + ".npz"
@@ -225,15 +231,22 @@ def load_full(path_prefix: str) -> tuple[FMState, dict]:
     if not meta.get("sharded"):
         return load(path_prefix)
     available = _sharded_pieces(path_prefix, meta)
+    saved_shapes = meta.get("shapes", {})
     full = {}
     for name in _LEAVES:
         pieces = available[name]
         if not pieces:
             raise ValueError(f"checkpoint {path_prefix} lacks leaf {name}")
-        ndim = len(pieces[0][0])
-        shape = tuple(
-            max(sls[d].stop for sls, _ in pieces) for d in range(ndim)
-        )
+        if name in saved_shapes:
+            # trust the save-time global shape: a missing top-range proc
+            # file then fails the coverage check instead of silently
+            # truncating the model
+            shape = tuple(saved_shapes[name])
+        else:  # older checkpoints without recorded shapes: best effort
+            ndim = len(pieces[0][0])
+            shape = tuple(
+                max(sls[d].stop for sls, _ in pieces) for d in range(ndim)
+            )
         index = tuple(slice(0, dim) for dim in shape)
         full[name] = _extract_range(
             pieces, index, pieces[0][1].dtype, name + "@"
