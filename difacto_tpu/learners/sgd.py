@@ -158,7 +158,9 @@ class SGDLearner:
             batch_workers=d.batch_workers,
         )
         src = iter(it)
-        num_rows = 1 << d.num_bits
+        # the STORE's table rows (>= 2^num_bits: the sharded table pads
+        # up so any shard count divides it; hashing stays in 2^num_bits)
+        num_rows = self.store.num_rows
         # libffm field ids are range-checked during prep, while still
         # host numpy (the prepped paths device-place batches before the
         # store's own validation would see them)

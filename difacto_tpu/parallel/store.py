@@ -454,15 +454,23 @@ class ShardedStore:
             mesh = jax.make_mesh((n,), ("shard",))
         self.mesh = mesh
         self.S = mesh.shape["shard"]
-        self.num_rows = 1 << cfg.data.num_bits
-        assert self.num_rows % self.S == 0, "num_shards must divide table rows"
-        self.rows_per_shard = self.num_rows // self.S
+        # hashed ids live in [0, 2^num_bits); the TABLE is padded up so
+        # any shard count divides it with block-aligned per-shard rows
+        # (the reference's key ranges worked for any server count; a
+        # non-power-of-two mesh — e.g. 3 hosts x 2 chips — must too).
+        # Padded rows are never hashed into: they only hold init values.
+        hash_rows = 1 << cfg.data.num_bits
         kind = _kernel_kind(cfg)
         _check_backend(kind, interpret)
         self.pairs = kind == "pairs"
         self.pallas = _use_pallas(cfg) or (interpret and not self.pairs)
         self.interpret = interpret
         self.layout = _resolve_layout(cfg, self.pallas or self.pairs)
+        per = (hash_rows + self.S - 1) // self.S
+        br = min(cfg.shard.block_rows, per)
+        self.hash_rows = hash_rows
+        self.rows_per_shard = _round_up(per, br)
+        self.num_rows = self.rows_per_shard * self.S
         self.block_rows = min(cfg.shard.block_rows, self.rows_per_shard)
         assert cfg.data.batch_size % self.S == 0, (
             f"num_shards {self.S} must divide batch_size {cfg.data.batch_size}"
@@ -607,7 +615,22 @@ class ShardedStore:
         )
         @functools.partial(jax.jit, out_shardings=shardings)
         def _init():
-            s = self.updater.init_state(self.num_rows, seed)
+            # init over the HASH space so the model is a function of
+            # num_bits + seed alone, not the mesh: a 6-shard table must
+            # initialize (hence train) identically to an 8-shard or
+            # single-device one. Padded rows (non-power-of-two shard
+            # counts) are never hashed into; they carry zeros.
+            s = self.updater.init_state(self.hash_rows, seed)
+            pad = self.num_rows - self.hash_rows
+            if pad:
+                s = FMState(
+                    w=jnp.pad(s.w, (0, pad)),
+                    z=jnp.pad(s.z, (0, pad)),
+                    n=jnp.pad(s.n, (0, pad)),
+                    V=jnp.pad(s.V, ((0, 0), (0, pad))),
+                    nV=jnp.pad(s.nV, ((0, 0), (0, pad))),
+                    cnt=jnp.pad(s.cnt, (0, pad)),
+                )
             return pack_state(s) if self.layout == "packed" else s
 
         return _init()
@@ -1087,6 +1110,20 @@ class ShardedStore:
         return shapes, shardings
 
     def place_state(self, host_state: FMState):
+        n_in = host_state.w.shape[0]
+        if n_in < self.num_rows:
+            # a checkpoint from an unpadded (or less-padded) table loads
+            # into this store's padded layout: padding rows are zeros
+            # (they are never hashed into)
+            pad = self.num_rows - n_in
+            host_state = FMState(
+                w=np.pad(np.asarray(host_state.w), (0, pad)),
+                z=np.pad(np.asarray(host_state.z), (0, pad)),
+                n=np.pad(np.asarray(host_state.n), (0, pad)),
+                V=np.pad(np.asarray(host_state.V), ((0, 0), (0, pad))),
+                nV=np.pad(np.asarray(host_state.nV), ((0, 0), (0, pad))),
+                cnt=np.pad(np.asarray(host_state.cnt), (0, pad)),
+            )
         shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), self._fmstate_spec
         )

@@ -148,16 +148,25 @@ def _extract_range(
     index: tuple[slice, ...],
     dtype,
     what: str,
+    bound: tuple[int, ...] | None = None,
 ) -> np.ndarray:
     """Assemble one target index range from (possibly differently-sliced)
     saved pieces — the topology-agnostic re-slicing. Coverage is checked
     by element count; when pieces overlap (a replicated leaf saved by
     several processes writes identical full-range pieces), the count is
     re-derived from an explicit coverage mask so an overlap can never
-    stand in for a gap."""
+    stand in for a gap. ``bound`` (the SAVED global shape) marks cells
+    beyond it as legitimately zero — a padded-table store (non-power-of-
+    two shard count) restoring a smaller save zero-fills its padding."""
     tgt_shape = tuple(sl.stop - sl.start for sl in index)
     out = np.zeros(tgt_shape, dtype)
-    want = int(np.prod(tgt_shape))
+    if bound is None:
+        want = int(np.prod(tgt_shape))
+    else:
+        want = int(np.prod([
+            max(0, min(sl.stop, b) - min(sl.start, b))
+            for sl, b in zip(index, bound)
+        ]))
     filled = 0
     hits: list[tuple[slice, ...]] = []
     for src, arr in pieces:
@@ -292,12 +301,17 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
             full[name] = _extract_range(pieces, index, dtype, name + "@")
         return store.place_state(FMState(**full)), meta
 
+    saved_shapes = meta.get("shapes", {})
     shapes, shardings = store.fmstate_placement()
     placed = {}
     for name in _LEAVES:
         shape = getattr(shapes, name).shape
         sharding = getattr(shardings, name)
         dtype = available[name][0][1].dtype if available[name] else np.float32
+        # target rows beyond the SAVE's recorded shape are table padding
+        # (a padded non-power-of-two-shard store restoring a smaller
+        # save): legitimately zero, not missing coverage
+        bound = tuple(saved_shapes[name]) if name in saved_shapes else None
         dev_idx = sharding.addressable_devices_indices_map(shape)
         singles = []
         for dev, index in dev_idx.items():
@@ -307,7 +321,9 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
             )
             singles.append(
                 jax.device_put(
-                    _extract_range(available[name], norm, dtype, name + "@"),
+                    _extract_range(
+                        available[name], norm, dtype, name + "@", bound
+                    ),
                     dev,
                 )
             )

@@ -279,3 +279,47 @@ def test_capacity_overflow_counted_not_silent():
     b = _batches(cfg)[0]
     s, m = sharded.train_step(s, *sharded.shard_batch(b.ids, b.vals, b.labels, b.mask))
     assert float(m.dropped_ids) > 0
+
+
+@pytest.mark.parametrize("shards", [3, 6])
+def test_non_power_of_two_shard_counts(shards):
+    """The reference's key-range sharding worked for ANY server count; a
+    non-power-of-two mesh (e.g. 3 hosts x 2 chips) must too. The sharded
+    table pads up to a block-aligned per-shard row count (padded rows are
+    never hashed into) and training matches the LocalStore bit-close;
+    checkpoints re-slice back onto the unpadded single-device table."""
+    from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
+    from difacto_tpu.utils import checkpoint
+
+    # batch rows are split over the mesh, so batch_size must divide by S
+    cfg = _cfg(num_shards=shards, batch_size=192)
+    upd = FMUpdater(cfg.model)
+    batches = _batches(cfg, n_rows=768)
+
+    local = LocalStore(upd, cfg)
+    s1 = local.init_state(0)
+    sh = ShardedStore(upd, cfg)
+    assert sh.S == shards
+    assert sh.num_rows >= local.num_rows
+    assert sh.num_rows % shards == 0
+    assert sh.rows_per_shard % sh.block_rows == 0
+    s2 = sh.init_state(0)
+    for b in batches:
+        s1, m1 = local.train_step_prepped(
+            s1, prep_batch(b, local.num_rows)
+        )
+        s2, m2 = sh.train_step_prepped(
+            s2, prep_batch_sharded(b, sh.num_rows, shards)
+        )
+    assert float(m2.dropped_ids) == 0.0
+    h1, h2 = fm_leaves(s1), fm_leaves(s2)
+    n = local.num_rows
+    for name in ("w", "z", "n", "V", "nV", "cnt"):
+        a = np.asarray(getattr(h1, name))
+        b = np.asarray(getattr(h2, name))
+        if a.size:
+            # compare the hashable prefix; padded rows hold init values
+            np.testing.assert_allclose(
+                a, b[..., :n] if a.ndim > 1 else b[:n],
+                rtol=2e-4, atol=2e-4, err_msg=name,
+            )
