@@ -458,3 +458,59 @@ def test_multiprocess_ffm_pairs(mp_run):
             np.testing.assert_allclose(
                 b[name], a[name], rtol=2e-4, atol=2e-4, err_msg=name
             )
+
+
+def test_three_process_non_power_of_two_mesh(mp_run):
+    """3 processes x 2 devices = 6 shards (non-power-of-two): the padded
+    sharded table trains through the pairs path in lockstep; all
+    processes agree on the validation AUC (reference: any server count
+    worked)."""
+    tmp, _ = mp_run
+    port = _free_port()
+    procs = []
+    for pid in range(3):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            DIFACTO_NUM_CPU_DEVICES="2",
+            DIFACTO_COORDINATOR=f"localhost:{port}",
+            DIFACTO_NUM_PROCESSES="3",
+            DIFACTO_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [
+                sys.executable, "-m", "difacto_tpu", str(tmp / "fm.conf"),
+                "kernel=pairs", "interpret=1", "batch_size=192",
+                "max_num_epochs=1", f"model_out={tmp / 'mp3_model'}",
+            ],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+    aucs = set()
+    for out in outs:
+        vals = [ln for ln in out.splitlines() if "exact_auc" in ln]
+        assert vals, out[-2000:]
+        aucs.add(vals[-1].split()[-1])
+    assert len(aucs) == 1
+
+    # the padded 6-shard checkpoint loads back into a LocalStore
+    from difacto_tpu.config import Config
+    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.updaters.updater import FMUpdater
+    from difacto_tpu.utils import arg_parser, checkpoint
+
+    cfg = Config.from_kwargs(arg_parser.parse([str(tmp / "fm.conf")]))
+    loc = LocalStore(FMUpdater(cfg.model), cfg)
+    restored, meta = checkpoint.load_for_store(str(tmp / "mp3_model"), loc)
+    assert meta["process_count"] == 3
