@@ -278,18 +278,26 @@ class ShardPairMetas:
     block_rows: int
 
 
-def shard_bucket_fills(pb: ShardPreppedBatch, num_rows: int) -> np.ndarray:
-    """i64 [S, S] routing matrix: fills[src, owner] = how many of source
-    ``src``'s valid unique ids the device routing sends to ``owner``.
-    Lets the store pick the all_to_all capacity from the batch's ACTUAL
-    maximum bucket fill (zero drops, minimal stream) instead of a
-    worst-case capacity_factor guess."""
-    S, ub = pb.num_shards, pb.ub
+def shard_bucket_fills(
+    pb: ShardPreppedBatch, num_rows: int, num_shards_global: int | None = None
+) -> np.ndarray:
+    """i64 [n_local, S] routing matrix: fills[src, owner] = how many of
+    source ``src``'s valid unique ids the device routing sends to
+    ``owner``. Lets the store pick the all_to_all capacity from the
+    batch's ACTUAL maximum bucket fill (zero drops, minimal stream)
+    instead of a worst-case capacity_factor guess.
+
+    ``num_shards_global``: total owner count (multi-process — the batch
+    preps only this process's local source shards, but ids route to
+    owners across ALL processes); defaults to the batch's own shard
+    count (single-process)."""
+    n_local, ub = pb.num_shards, pb.ub
+    S = num_shards_global or n_local
     rows_per_shard = num_rows // S
-    uids = pb.uids.reshape(S, ub).astype(np.int64)
+    uids = pb.uids.reshape(n_local, ub).astype(np.int64)
     bounds = np.arange(S + 1, dtype=np.int64) * rows_per_shard
-    fills = np.empty((S, S), np.int64)
-    for s in range(S):
+    fills = np.empty((n_local, S), np.int64)
+    for s in range(n_local):
         n_valid = int(np.searchsorted(uids[s], num_rows, side="left"))
         lo = np.searchsorted(uids[s][:n_valid], bounds, side="left")
         fills[s] = lo[1:] - lo[:-1]
@@ -319,40 +327,51 @@ def _send_buckets(
     return out
 
 
-def _metas_from_send(
+def _owner_raws(
     send: np.ndarray,       # i32 [S, S, C] global send matrix [src, owner]
     num_rows: int,
-    capacity: int,
     block_rows: int,
     keep: range,
-) -> ShardPairMetas:
-    """Pair schedules from the GLOBAL send matrix, for owners in ``keep``
-    (a process keeps only its local owner devices; the pair-count buckets
-    Pp/Pa are computed over ALL owners so every process pads its stacked
-    arrays to identical shapes — required by
-    make_array_from_process_local_data)."""
-    from ..ops.pair_sweep import W, _bucket, _pairs_finish, _pairs_raw
+) -> list:
+    """Raw touched-pair discovery for owners in ``keep`` only — a process
+    builds its LOCAL owners' schedules, O(n_local * S * C) host work per
+    step instead of O(S^2 * C) (the padded pair count is agreed
+    separately, via a tiny allgather of per-process maxima)."""
+    from ..ops.pair_sweep import _pairs_raw
 
-    S, C = send.shape[0], capacity
+    S, C = send.shape[0], send.shape[2]
     rows_per_shard = num_rows // S
-    sent_win = (S * C) // W
-    # the raw touched-pair discovery runs for EVERY owner (the padded
-    # pair count must be agreed over all of them — every process holds
-    # the same send matrix), but the lexsort+pad finishing runs only for
-    # the owners this process keeps. Pull (window-major) and apply
-    # (block-major) are two orderings of the SAME raw list, so one P
-    # serves both.
     raws = []
-    for o in range(S):
+    for o in keep:
         # owner o's post-all_to_all local-id stream: source s's bucket in
         # segment s; sentinel global ids become the local sentinel
         g = send[:, o, :].reshape(S * C).astype(np.int64)
         stream = np.where(g >= num_rows, rows_per_shard, g - o * rows_per_shard)
         raws.append(_pairs_raw(stream, rows_per_shard, block_rows, C))
-    P = _bucket(max(max(r[0].shape[0] for r in raws), 1))
+    return raws
+
+
+def _finish_metas(
+    raws: list,
+    S: int,
+    capacity: int,
+    block_rows: int,
+    num_rows: int,
+    pair_bucket: int,
+) -> ShardPairMetas:
+    """Order + pad each kept owner's raw pair list to ``pair_bucket``
+    pairs (identical on every process so the stacked [n_local, P] arrays
+    agree globally — required by make_array_from_process_local_data).
+    Pull (window-major) and apply (block-major) are two orderings of the
+    SAME raw list, so one P serves both."""
+    from ..ops.pair_sweep import W, _pairs_finish
+
+    C = capacity
+    rows_per_shard = num_rows // S
+    sent_win = (S * C) // W
+    P = pair_bucket
     pb_l, pw_l, pwf_l, ab_l, aw_l, af_l = [], [], [], [], [], []
-    for o in keep:
-        blocks, wins, nseg = raws[o]
+    for blocks, wins, nseg in raws:
         m = _pairs_finish(
             blocks, wins, nseg, sent_win, block_rows, (P,), "window"
         )
@@ -367,6 +386,24 @@ def _metas_from_send(
         apply_blocks=np.stack(ab_l), apply_wins=np.stack(aw_l),
         apply_first=np.stack(af_l),
         capacity=C, block_rows=block_rows,
+    )
+
+
+def _metas_from_send(
+    send: np.ndarray,       # i32 [S, S, C] global send matrix [src, owner]
+    num_rows: int,
+    capacity: int,
+    block_rows: int,
+    keep: range,
+) -> ShardPairMetas:
+    """Pair schedules from the GLOBAL send matrix, single-process form:
+    raws for all kept owners, pair bucket from their own maximum."""
+    from ..ops.pair_sweep import _bucket
+
+    raws = _owner_raws(send, num_rows, block_rows, keep)
+    P = _bucket(max(max(r[0].shape[0] for r in raws), 1))
+    return _finish_metas(
+        raws, send.shape[0], capacity, block_rows, num_rows, P
     )
 
 
@@ -420,17 +457,24 @@ def build_shard_pair_metas_mp(
     MUST be called on the main thread in lockstep step order (it is a
     collective); the ShardedStore calls it from train/eval_step_prepped,
     never from prefetch workers. ``capacity`` must be deterministic
-    across processes (the store's pinned ``self.capacity``, derived from
-    config alone).
+    across processes (agreed from the same config — or from a prior
+    lockstep allgather of batch fills, ShardedStore._mp_pairs_capacity).
+
+    Per-process host cost is O(n_local * S * C): raw touched-pair
+    discovery runs only for this process's LOCAL owner devices; the
+    padded pair count the stacked arrays share globally is agreed by a
+    second, tiny allgather of each process's local maximum raw count
+    (server work must not grow with the square of the cluster — SURVEY
+    §2.2 ps-lite KV app).
 
     Counterpart of the reference's dist path being its production path
     (SURVEY §2.2 ps-lite KV app: servers see every worker's key ranges
-    by construction; under SPMD the host-built schedules need this one
-    extra allgather)."""
+    by construction; under SPMD the host-built schedules need these
+    allgathers)."""
     import jax
     from jax.experimental import multihost_utils
 
-    from ..ops.pair_sweep import W
+    from ..ops.pair_sweep import W, _bucket
 
     C = capacity
     assert C % W == 0, "pair kernels need 128-lane-aligned capacity"
@@ -440,7 +484,15 @@ def build_shard_pair_metas_mp(
     send = gathered.reshape(S_global, S_global, C)
     pid = jax.process_index()
     keep = range(pid * n_local, (pid + 1) * n_local)
-    return _metas_from_send(send, num_rows, C, block_rows, keep)
+    raws = _owner_raws(send, num_rows, block_rows, keep)
+    local_max = max((r[0].shape[0] for r in raws), default=0)
+    gmax = int(
+        np.asarray(
+            multihost_utils.process_allgather(np.array(local_max, np.int64))
+        ).max()
+    )
+    P = _bucket(max(gmax, 1))
+    return _finish_metas(raws, S_global, C, block_rows, num_rows, P)
 
 
 def prep_batch_sharded(

@@ -404,7 +404,9 @@ class SGDLearner:
     @staticmethod
     def _allgather_pairs(y: np.ndarray, p: np.ndarray):
         """Gather (label, score) pairs from every process (per-process
-        lengths may differ: pad to the max, mark pads with label -1)."""
+        lengths may differ: pad to the max, mark pads with label NaN —
+        real labels are finite 0/1 or -1/+1 file values, so a sign test
+        would drop genuine negatives; NaN can never be a label)."""
         if jax.process_count() == 1:
             return y, p
         from jax.experimental import multihost_utils
@@ -413,13 +415,13 @@ class SGDLearner:
             multihost_utils.process_allgather(np.array(len(y), np.int64))
         )
         m = int(counts.max())
-        ypad = np.full(m, -1.0, np.float32)
+        ypad = np.full(m, np.nan, np.float32)
         ppad = np.zeros(m, np.float32)
         ypad[: len(y)] = y
         ppad[: len(p)] = p
         yg = np.asarray(multihost_utils.process_allgather(ypad)).reshape(-1)
         pg = np.asarray(multihost_utils.process_allgather(ppad)).reshape(-1)
-        keep = yg >= 0
+        keep = ~np.isnan(yg)
         return yg[keep], pg[keep]
 
     def eval_pass(self, uri: str) -> Progress:

@@ -47,6 +47,7 @@ Correctness invariants:
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 
 import jax
@@ -59,11 +60,16 @@ from ..config import FMParam
 from ..updaters.updater import FMState
 from .sweep_ms import fused_table_update
 
+log = logging.getLogger(__name__)
+
 W = 128  # unique-window lane granularity (2-D dynamic-slice tile)
 
-# pair-count bucket ladder (few distinct jit/Mosaic specializations)
+# pair-count bucket ladder (few distinct jit/Mosaic specializations).
+# Extends past 65536 (the 2^26 bench sits exactly AT 65536 — one batch
+# past it must land on a rung, not mint an exact-size specialization)
 PAIR_BUCKETS = (256, 512, 1024, 2048, 3072, 4096, 4608, 5120, 6144,
-                8192, 12288, 16384, 24576, 32768, 49152, 65536)
+                8192, 12288, 16384, 24576, 32768, 49152, 65536,
+                98304, 147456, 221184, 331776, 497664)
 
 
 def _pad8(d: int) -> int:
@@ -74,7 +80,18 @@ def _bucket(n: int, buckets=PAIR_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return n
+    # beyond the ladder: continue the ~1.5x geometric rungs (128-aligned)
+    # instead of an exact size — an exact size re-specializes on EVERY
+    # distinct pair count (5-15 min/shape on a remote Mosaic service) —
+    # and log it, since landing here means the ladder should grow
+    v = buckets[-1]
+    while v < n:
+        v = (v * 3 // 2 + 127) // 128 * 128
+    log.info(
+        "pair count %d exceeds the bucket ladder (max %d): extending "
+        "geometrically to %d", n, buckets[-1], v,
+    )
+    return v
 
 
 @dataclass

@@ -195,6 +195,35 @@ class LocalStore:
         return self.updater.init_state(self.num_rows, seed)
 
     def place_state(self, host_state: FMState):
+        n_in = host_state.w.shape[0]
+        if n_in > self.num_rows:
+            # a single-file checkpoint from a PADDED sharded run carries
+            # rows_per_shard*S >= 2^num_bits rows; rows past the hash
+            # space are table padding (never hashed into) and must be
+            # zero — truncate them. Anything nonzero there means the
+            # checkpoint came from a larger hash space (num_bits
+            # mismatch), which would silently alias ids if loaded.
+            w = np.asarray(host_state.w)
+            if np.any(w[self.num_rows:] != 0):
+                raise ValueError(
+                    f"checkpoint has {n_in} rows with nonzero weights past "
+                    f"this store's {self.num_rows}-row hash space — was it "
+                    f"saved with a larger num_bits?"
+                )
+            host_state = FMState(
+                w=w[: self.num_rows],
+                z=np.asarray(host_state.z)[: self.num_rows],
+                n=np.asarray(host_state.n)[: self.num_rows],
+                V=np.asarray(host_state.V)[:, : self.num_rows],
+                nV=np.asarray(host_state.nV)[:, : self.num_rows],
+                cnt=np.asarray(host_state.cnt)[: self.num_rows],
+            )
+        elif n_in < self.num_rows:
+            raise ValueError(
+                f"checkpoint has {n_in} rows but this store's hash space "
+                f"is {self.num_rows} (num_bits mismatch — retrain or load "
+                f"with the original num_bits)"
+            )
         placed = jax.device_put(host_state)
         if self.layout == "packed":
             return jax.jit(pack_state)(placed)
@@ -607,6 +636,34 @@ class ShardedStore:
             c = max(c, self.capacity)  # pinned floor, W-aligned for pairs
         return _cap_ladder(c)
 
+    def _mp_pairs_capacity(self, pb) -> int:
+        """Multi-process batch-actual all_to_all capacity: each process
+        knows only its LOCAL sources' bucket fills, so the global maximum
+        is agreed with one tiny lockstep allgather (i64 scalar) — the
+        multi-process twin of :meth:`pairs_capacity`. Deterministic
+        (every process computes the same ladder rung from the same
+        global max); the pinned config capacity previously used here
+        overshot the owner streams ~35% on average (BENCH.md queue #4).
+        MUST run on the main thread in lockstep step order."""
+        from jax.experimental import multihost_utils
+
+        from ..data.prep import shard_bucket_fills
+        from ..ops.pair_sweep import W
+
+        fills = shard_bucket_fills(pb, self.num_rows, self.S)
+        local_max = int(fills.max())
+        gmax = int(
+            np.asarray(
+                multihost_utils.process_allgather(
+                    np.array(local_max, np.int64)
+                )
+            ).max()
+        )
+        c = _round_up(max(gmax, 1), W)
+        if self.cfg.shard.unique_size:
+            c = max(c, self.capacity)  # pinned floor, W-aligned for pairs
+        return _cap_ladder(c)
+
     # -- placement ----------------------------------------------------------
 
     def init_state(self, seed: int = 0):
@@ -735,17 +792,18 @@ class ShardedStore:
         owner-side schedules come from build_shard_pair_metas_mp — a
         process_allgather of the bucketed global ids, executed HERE (the
         main thread, inside the lockstepped step sequence: collective
-        order must be identical on every process) with the pinned
-        deterministic capacity. Single-process keeps the cheaper local
-        build with the batch-fill-sized capacity, overlapped in the prep
-        workers when the learner attached it."""
+        order must be identical on every process) at the batch-actual
+        capacity agreed by _mp_pairs_capacity's allgather. Single-process
+        keeps the cheaper local build with the batch-fill-sized capacity,
+        overlapped in the prep workers when the learner attached it."""
         m = getattr(pb, "pair_metas", None)
         if m is None or m.block_rows != self.block_rows:
             if jax.process_count() > 1:
                 from ..data.prep import build_shard_pair_metas_mp
 
                 m = build_shard_pair_metas_mp(
-                    pb, self.num_rows, self.S, self.capacity, self.block_rows
+                    pb, self.num_rows, self.S, self._mp_pairs_capacity(pb),
+                    self.block_rows,
                 )
             else:
                 C = self.pairs_capacity(pb)
@@ -1111,6 +1169,17 @@ class ShardedStore:
 
     def place_state(self, host_state: FMState):
         n_in = host_state.w.shape[0]
+        if n_in < self.hash_rows or n_in > self.num_rows:
+            # only the padding region [hash_rows, num_rows) may legally
+            # be absent from a checkpoint; fewer rows than the hash space
+            # means a num_bits mismatch (or a wrong/stale model file) and
+            # zero-filling it would silently train from a mostly-empty
+            # table
+            raise ValueError(
+                f"checkpoint has {n_in} rows; this store's hash space is "
+                f"{self.hash_rows} (padded table {self.num_rows}) — "
+                f"num_bits mismatch?"
+            )
         if n_in < self.num_rows:
             # a checkpoint from an unpadded (or less-padded) table loads
             # into this store's padded layout: padding rows are zeros

@@ -310,8 +310,27 @@ def load_for_store(path_prefix: str, store) -> tuple[FMState, dict]:
         dtype = available[name][0][1].dtype if available[name] else np.float32
         # target rows beyond the SAVE's recorded shape are table padding
         # (a padded non-power-of-two-shard store restoring a smaller
-        # save): legitimately zero, not missing coverage
-        bound = tuple(saved_shapes[name]) if name in saved_shapes else None
+        # save): legitimately zero, not missing coverage. ONLY the row
+        # axis may be zero-filled, and only down to the target's hash
+        # space — a save with a smaller V_dim or a smaller hash space is
+        # a real mismatch, not padding, and must fail loudly.
+        bound = None
+        if name in saved_shapes:
+            saved = tuple(saved_shapes[name])
+            row_ax = len(shape) - 1 if name in ("V", "nV") else 0
+            for d, (sv, tg) in enumerate(zip(saved, shape)):
+                if d != row_ax and sv != tg:
+                    raise ValueError(
+                        f"checkpoint leaf {name} dim {d} is {sv} but this "
+                        f"store expects {tg} (V_dim mismatch?)"
+                    )
+            if saved[row_ax] < store.hash_rows:
+                raise ValueError(
+                    f"checkpoint leaf {name} has {saved[row_ax]} rows but "
+                    f"this store's hash space is {store.hash_rows} "
+                    "(num_bits mismatch?)"
+                )
+            bound = saved
         dev_idx = sharding.addressable_devices_indices_map(shape)
         singles = []
         for dev, index in dev_idx.items():

@@ -410,3 +410,101 @@ def test_tools_read_sharded_checkpoints(data, tmp_path, monkeypatch):
     out = stats(prefix, shards=8)
     assert out["rows"] == 1 << 16 and out["touched"] > 0
     assert "shard_load" in out
+
+
+def test_place_state_validates_row_count(data):
+    """A checkpoint whose row count mismatches the store's hash space must
+    fail loudly (ADVICE r3: silent zero-pad/alias corrupted the model):
+    only the sharded-table padding region [hash_rows, num_rows) may be
+    absent (sharded load) or extra-and-zero (local load)."""
+    from difacto_tpu.parallel.store import LocalStore, ShardedStore
+    from difacto_tpu.updaters.updater import FMState, FMUpdater
+
+    def mk_state(n, k=8):
+        return FMState(
+            w=np.ones(n, np.float32), z=np.zeros(n, np.float32),
+            n=np.zeros(n, np.float32), V=np.zeros((k, n), np.float32),
+            nV=np.zeros((k, n), np.float32), cnt=np.zeros(n, np.float32),
+        )
+
+    cfg_l = _cfg(data, store="local")
+    st_l = LocalStore(FMUpdater(cfg_l.model), cfg_l)
+    rows = st_l.num_rows
+
+    # smaller hash space -> reject
+    with pytest.raises(ValueError, match="num_bits"):
+        st_l.place_state(mk_state(rows // 2))
+    # padded sharded save (extra zero rows) -> truncated, accepted
+    big = mk_state(rows + 128)
+    for leaf in ("w", "z", "n", "cnt"):
+        getattr(big, leaf)[rows:] = 0.0
+    big.V[:, rows:] = 0.0
+    big.nV[:, rows:] = 0.0
+    from helpers import fm_leaves
+
+    placed = fm_leaves(st_l.place_state(big))
+    assert placed.w.shape[0] == rows
+    np.testing.assert_array_equal(placed.w, np.ones(rows, np.float32))
+    # nonzero weights past the hash space -> a LARGER save, reject
+    bad = mk_state(rows + 128)  # w is all-ones incl. the tail
+    with pytest.raises(ValueError, match="num_bits"):
+        st_l.place_state(bad)
+
+    cfg_s = _cfg(data, num_shards=4)
+    st_s = ShardedStore(FMUpdater(cfg_s.model), cfg_s)
+    with pytest.raises(ValueError, match="num_bits"):
+        st_s.place_state(mk_state(st_s.hash_rows // 2))
+
+
+def test_load_for_store_rejects_dim_mismatch(data, tmp_path, monkeypatch):
+    """A sharded save with a different V_dim or a smaller hash space must
+    error, not silently zero-fill (ADVICE r3: the bound-based zero-fill
+    is ONLY for row-axis table padding)."""
+    from difacto_tpu.parallel.store import ShardedStore
+    from difacto_tpu.updaters.updater import FMUpdater
+    from difacto_tpu.utils import checkpoint
+
+    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    learner.train_epoch(0)
+    prefix = str(tmp_path / "dmm")
+    monkeypatch.setattr(checkpoint.jax, "process_count", lambda: 2)
+    try:
+        checkpoint.save(prefix, learner.state, {"epoch": 1, "step": 0})
+    finally:
+        monkeypatch.undo()
+
+    # V_dim mismatch (saved K=8, target K=4)
+    cfg_k4 = _cfg(data, V_dim=4, num_shards=4)
+    st_k4 = ShardedStore(FMUpdater(cfg_k4.model), cfg_k4)
+    with pytest.raises(ValueError, match="V_dim"):
+        checkpoint.load_for_store(prefix, st_k4)
+
+    # hash-space mismatch (saved 2^16 rows, target 2^17)
+    cfg_b17 = _cfg(data, num_bits=17, num_shards=4)
+    st_b17 = ShardedStore(FMUpdater(cfg_b17.model), cfg_b17)
+    with pytest.raises(ValueError, match="num_bits|hash space"):
+        checkpoint.load_for_store(prefix, st_b17)
+
+
+def test_allgather_pairs_keeps_negative_labels(monkeypatch):
+    """ADVICE r3: with -1/+1 labels, the cross-process (label, score)
+    gather must not drop negatives — pads are NaN, not label -1."""
+    from jax.experimental import multihost_utils
+
+    from difacto_tpu.learners import sgd as sgd_mod
+
+    monkeypatch.setattr(sgd_mod.jax, "process_count", lambda: 2)
+
+    def fake_allgather(x):
+        x = np.asarray(x)
+        if x.ndim == 0:  # the per-process length exchange: unequal lengths
+            return np.array([int(x), int(x) + 2])
+        return np.stack([x, x])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    y = np.array([-1.0, 1.0, -1.0], np.float32)
+    p = np.array([0.1, 0.9, 0.2], np.float32)
+    yg, pg = sgd_mod.SGDLearner._allgather_pairs(y, p)
+    # 2 simulated processes x 3 real pairs; the 2x2 pad lanes are dropped
+    assert len(yg) == 6 and len(pg) == 6
+    assert (yg == -1.0).sum() == 4 and (yg == 1.0).sum() == 2
