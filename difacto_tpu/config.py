@@ -222,6 +222,26 @@ class Config:
                 "(with num_fields=0 the slot position is the field, which "
                 "ignores the file's field ids)"
             )
+        if self.learner.loss == "ffm" and self.model.V_dim > 0:
+            # ffm_loss_grad materializes ~6 [B, L, L, K]-sized f32
+            # activations (A, At, G, Gj + M/T/dV4 lower-order terms) —
+            # the classic O(B L^2 K) FFM cost. Unchecked, a long-row
+            # config OOMs the chip mid-epoch; fail at config time with
+            # the knobs that fix it (VERDICT r3 weak #4).
+            B, L, K = (
+                self.data.batch_size,
+                self.data.max_nnz_per_row,
+                self.model.V_dim,
+            )
+            est = 6 * B * L * L * K * 4
+            cap = 8 << 30  # leave the 16 GB v5e HBM room for state + batch
+            if est > cap:
+                raise ValueError(
+                    f"loss=ffm activations ~{est / (1 << 30):.1f} GiB "
+                    f"(6 * batch_size {B} * max_nnz_per_row^2 {L}^2 * "
+                    f"V_dim {K} * 4 B) exceed the {cap >> 30} GiB budget — "
+                    "lower batch_size or max_nnz_per_row (cost is O(B L^2 K))"
+                )
 
     def expects_fields(self) -> bool:
         """True when batches must carry explicit per-slot field ids."""
