@@ -175,6 +175,13 @@ class ShardParam(ParamBase):
                                    # XLA); planar = split w/z/n/cnt +
                                    # [K, N] V (big tables, pallas)
     block_rows: int = 1024         # table rows per sweep-kernel block
+    segsum: str = "auto"           # per-key gradient aggregation on the
+                                   # kernel=pairs prepped path: auto/
+                                   # sorted = sorted-slot tile-matmul
+                                   # kernel (ops/segsum.py — replaces the
+                                   # measured-10.9ms XLA scatter-add);
+                                   # scatter = the XLA scatter (exact
+                                   # same summation order as kernel=xla)
     interpret: bool = False        # run Pallas kernels in interpret mode
                                    # (CPU testing of kernel=pallas/pairs;
                                    # does NOT check Mosaic rules)
@@ -204,6 +211,10 @@ class Config:
     def check(self) -> None:
         """Cross-param consistency (reference: difacto.cc fails fast on
         inconsistent kwargs before the learner starts)."""
+        if self.shard.segsum not in ("auto", "sorted", "scatter"):
+            raise ValueError(
+                f"segsum must be auto|sorted|scatter, got {self.shard.segsum!r}"
+            )
         if self.model.num_fields > 0:
             if self.learner.loss != "ffm":
                 raise ValueError("num_fields is only meaningful with loss=ffm")

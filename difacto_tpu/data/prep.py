@@ -85,6 +85,7 @@ class PreppedBatch:
     inv: np.ndarray      # i32 [B*L] row-major slot -> unique lane
     valid: np.ndarray    # bool [Ub]
     pair_meta: object = None  # ops.pair_sweep.PairMeta when kernel=pairs
+    sorted_slots: object = None  # SortedSlots when segsum=sorted
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
     fields_checked: bool = False  # range-validated at prep time (host)
 
@@ -212,6 +213,45 @@ def prep_batch(
         valid=valid,
         fields=batch.fields,
         fields_checked=num_fields > 0,
+    )
+
+
+@dataclass
+class SortedSlots:
+    """Host-built sorted-slot arrays for the no-scatter gradient
+    aggregation (ops/segsum.py): the batch's nnz slots reordered by
+    unique lane, so per-key gradient sums become segment sums over a
+    monotone stream. All arrays are padded to a tile multiple; pad slots
+    carry x == 0 and repeat the last real lane (they add nothing).
+
+    The permutation is a stable argsort of ``inv`` — host work the
+    reference also did on worker CPUs (its Localizer sorts the batch's
+    keys anyway); it runs in the prep/prefetch workers, overlapped with
+    device steps."""
+
+    x_sorted: np.ndarray    # f32 [BLp] vals in sorted-slot order
+    bidx: np.ndarray        # i32 [BLp] example index per sorted slot
+    inv_sorted: np.ndarray  # i32 [BLp] monotone unique lanes
+    meta: object            # ops.segsum.SegMeta
+
+
+def build_sorted_slots(
+    inv: np.ndarray, vals: np.ndarray, ub: int
+) -> SortedSlots:
+    """SortedSlots for one prepped batch (``inv`` [B*L], ``vals`` [B, L])."""
+    from ..ops.segsum import build_seg_meta, pad_sorted_stream
+
+    L = vals.shape[1]
+    perm = np.argsort(inv, kind="stable")
+    inv_s = pad_sorted_stream(inv[perm].astype(np.int32, copy=False))
+    blp, bl = inv_s.shape[0], perm.shape[0]
+    x = np.zeros(blp, np.float32)
+    x[:bl] = vals.reshape(-1)[perm]
+    bidx = np.zeros(blp, np.int32)
+    bidx[:bl] = (perm // L).astype(np.int32)
+    return SortedSlots(
+        x_sorted=x, bidx=bidx, inv_sorted=inv_s,
+        meta=build_seg_meta(inv_s, ub),
     )
 
 

@@ -213,16 +213,24 @@ class SGDLearner:
                 min_ub = self.cfg.shard.unique_size or None
                 if getattr(self.store, "pairs", False):
                     # kernel=pairs: build the (block, window) pair schedule
-                    # in the prep workers too, overlapped with device steps
+                    # — and the sorted-slot arrays for the scatter-free
+                    # grad aggregation — in the prep workers too,
+                    # overlapped with device steps
+                    from ..data.prep import build_sorted_slots
                     from ..ops.pair_sweep import build_pair_meta
 
                     br = self.store.block_rows
+                    want_sorted = getattr(self.store, "sorted_grads", False)
 
                     def fn(b):
                         pb = prep_batch(
                             b, num_rows, min_ub=min_ub, num_fields=nf
                         )
                         pb.pair_meta = build_pair_meta(pb.uids, num_rows, br)
+                        if want_sorted:
+                            pb.sorted_slots = build_sorted_slots(
+                                pb.inv, pb.vals, pb.uids.shape[0]
+                            )
                         return pb
                 else:
                     fn = lambda b: prep_batch(

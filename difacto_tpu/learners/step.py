@@ -16,7 +16,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..models.losses import ffm_loss_grad, fm_loss_grad
+from ..models.losses import (
+    ffm_loss_grad, fm_loss_grad, fm_predict, logit_grad_coeff,
+)
 from ..ops.localize import Localized
 from ..ops.metrics import NUM_AUC_BINS, auc_hist_update
 
@@ -71,15 +73,71 @@ def worker_grads(
         [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
     )
     grads_u = jnp.zeros((U, D), flat.dtype).at[loc.inv].add(flat)
-    metrics = StepMetrics(
+    return grads_u, fwd.py, _batch_metrics(fwd.py, g.loss, g.correct,
+                                           labels, mask)
+
+
+def _batch_metrics(py, loss, correct, labels, mask) -> StepMetrics:
+    return StepMetrics(
         examples=jnp.sum(mask),
-        logloss_sum=jnp.sum(g.loss),
-        correct_sum=jnp.sum(g.correct),
+        logloss_sum=jnp.sum(loss),
+        correct_sum=jnp.sum(correct),
         label_sum=jnp.sum(labels * mask),
-        pred_sum=jnp.sum(jax.nn.sigmoid(fwd.py) * mask),
+        pred_sum=jnp.sum(jax.nn.sigmoid(py) * mask),
         auc_hist=auc_hist_update(
-            jnp.zeros((2, NUM_AUC_BINS), jnp.float32), fwd.py, labels, mask
+            jnp.zeros((2, NUM_AUC_BINS), jnp.float32), py, labels, mask
         ),
         dropped_ids=jnp.zeros((), jnp.float32),
     )
-    return grads_u, fwd.py, metrics
+
+
+def worker_grads_sorted(
+    rows_u: jnp.ndarray,   # f32 [U, 1+K] pulled unique rows (w | V)
+    loc: Localized,
+    vals: jnp.ndarray,     # f32 [B, L]
+    labels: jnp.ndarray,   # f32 [B]
+    mask: jnp.ndarray,     # f32 [B]
+    ss_dev: tuple,         # (x_sorted [BLp], bidx [BLp], inv_sorted [BLp],
+                           #  seg tiles, seg wins, seg first) on device
+    *,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
+    """worker_grads with the gradient aggregation done scatter-free.
+
+    The forward runs in [B, L] batch space exactly as ``worker_grads``
+    (same margins, losses, metrics). The backward is recomputed in
+    HOST-SORTED slot order — d and S gather from [B]-sized sources, V
+    re-gathers with MONOTONE indices — and per-key sums come from the
+    ops/segsum.py tile-matmul kernel instead of the 655k-index XLA
+    scatter-add (measured 10.9 ms of the 24 ms flagship step; see
+    scripts/hw_worker_breakdown.py). fm/logit only (ffm keeps scatter).
+
+    Returns grads PLANAR [1+K, U] (the pair-apply payload layout),
+    plus py and metrics. Summation order differs from the scatter path
+    by float association only (~1e-6 relative; pinned by tests).
+    """
+    from ..ops.segsum import lanes_2d, segsum_sorted
+
+    B, L = vals.shape
+    U, D = rows_u.shape
+    K = D - 1
+    rows = rows_u[loc.inv].reshape(B, L, D)
+    fwd = fm_predict(vals, rows[..., 0], rows[..., 1:])
+    d, loss, correct = logit_grad_coeff(fwd.py, labels, mask)
+    x_s, bidx, inv_s, s_tiles, s_wins, s_first = ss_dev
+    dw_s = d[bidx] * x_s                                    # [BLp]
+    if K > 0:
+        S_s = fwd.S[bidx]                                   # [BLp, K]
+        V_s = rows_u[inv_s][:, 1:]                          # [BLp, K]
+        dV_s = dw_s[:, None] * (S_s - x_s[:, None] * V_s)
+        pay = jnp.concatenate([dw_s[:, None], dV_s], axis=1)
+    else:
+        pay = dw_s[:, None]
+    pp = (D + 7) // 8 * 8
+    payT = jnp.pad(pay.T, ((0, pp - D), (0, 0)))
+    grads_p = segsum_sorted(
+        payT, lanes_2d(inv_s), (s_tiles, s_wins, s_first),
+        ub=U, interpret=interpret,
+    )[:D]
+    return grads_p, fwd.py, _batch_metrics(fwd.py, loss, correct,
+                                           labels, mask)

@@ -40,7 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..learners.step import StepMetrics, worker_grads
+from ..learners.step import StepMetrics, worker_grads, worker_grads_sorted
 from ..ops.localize import Localized, localize
 from ..updaters.updater import (
     FMState, FMUpdater, PackedFMState, pack_state, unpack_state,
@@ -182,12 +182,23 @@ class LocalStore:
         # libffm explicit fields: batches carry an i32 [B, L] field array
         self.num_fields = cfg.model.num_fields
         self.expects_fields = cfg.expects_fields()
+        # sorted-slot segment-sum gradient aggregation (ops/segsum.py):
+        # the pairs path's default — the XLA scatter-add it replaces
+        # measured 10.9 ms of the 24 ms flagship step (BENCH.md r4)
+        self.sorted_grads = (
+            self.pairs
+            and self.loss != "ffm"
+            and cfg.shard.segsum != "scatter"
+        )
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
         self._jit_prepped_step = jax.jit(self._prepped_step, donate_argnums=0)
         self._jit_prepped_eval = jax.jit(self._prepped_eval)
         self._jit_pairs_step = jax.jit(self._pairs_step, donate_argnums=0)
         self._jit_pairs_eval = jax.jit(self._pairs_eval)
+        self._jit_pairs_step_sorted = jax.jit(
+            self._pairs_step_sorted, donate_argnums=0
+        )
 
     def init_state(self, seed: int = 0):
         if self.layout == "packed":
@@ -352,8 +363,30 @@ class LocalStore:
             return None
         return _prepped_fields(pb, self.num_fields)
 
+    def _sorted_slots(self, pb):
+        """Host sorted-slot arrays (built in the prep workers when the
+        learner attached them; rebuilt here otherwise)."""
+        ss = getattr(pb, "sorted_slots", None)
+        if ss is None:
+            from ..data.prep import build_sorted_slots
+
+            ss = build_sorted_slots(
+                np.asarray(pb.inv), np.asarray(pb.vals), pb.uids.shape[0]
+            )
+        return ss
+
     def train_step_prepped(self, state, pb):
         fields = self._batch_fields(pb)
+        if self.pairs and self.sorted_grads:
+            m = self._pair_meta(pb)
+            ss = self._sorted_slots(pb)
+            sm = ss.meta
+            return self._jit_pairs_step_sorted(
+                state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+                pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
+                ss.x_sorted, ss.bidx, ss.inv_sorted,
+                sm.tiles, sm.wins, sm.first,
+            )
         if self.pairs:
             m = self._pair_meta(pb)
             return self._jit_pairs_step(
@@ -433,6 +466,44 @@ class LocalStore:
                 jnp.where(valid[None, :], grads_u.T, 0.0),  # gw | gV planar
                 (loc.counts * vf)[None, :],                 # add_cnt
                 vf[None, :],                                # touch
+            ],
+            axis=0,
+        )
+        state = apply_pairs(
+            state, uids, payload, (blocks, wins, first, wfirst),
+            self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return state, metrics
+
+    def _pairs_step_sorted(
+        self, state, vals, labels, mask, uids, ucounts, inv, valid,
+        blocks, wins, first, wfirst, x_s, bidx, inv_s,
+        s_tiles, s_wins, s_first,
+    ):
+        """kernel=pairs train step with scatter-free grad aggregation:
+        pull pairs -> [B, L] forward -> SORTED-slot backward ->
+        ops/segsum.py tile-matmul per-key sums (planar, already the
+        apply payload layout) -> apply pairs. fm/logit only."""
+        from ..ops.pair_sweep import apply_pairs, pull_pairs
+
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_p = pull_pairs(
+            state, uids, (blocks, wins, first, wfirst), self.updater.param,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        rows_u = jnp.where(valid[:, None], rows_p.T, 0.0)
+        grads_p, _, metrics = worker_grads_sorted(
+            rows_u, loc, vals, labels, mask,
+            (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
+            interpret=self.interpret,
+        )
+        vf = valid.astype(jnp.float32)
+        payload = jnp.concatenate(
+            [
+                jnp.where(valid[None, :], grads_p, 0.0),  # gw | gV planar
+                (loc.counts * vf)[None, :],               # add_cnt
+                vf[None, :],                              # touch
             ],
             axis=0,
         )
