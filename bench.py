@@ -93,6 +93,7 @@ def _store():
         ("kernel", kernel),
         ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
         ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
+        ("segsum", os.environ.get("BENCH_SEGSUM", "auto")),
         # bench loops over a fixed batch set: keep their device arrays
         # resident (the sharded store re-places per step otherwise)
         ("cache_batches", "1"),
@@ -138,6 +139,12 @@ def bench_tpu() -> dict:
 
                 pb.pair_meta = build_pair_meta(
                     pb.uids, 1 << NUM_BITS, store.block_rows
+                )
+            if getattr(store, "sorted_grads", False):
+                from difacto_tpu.data.prep import build_sorted_slots
+
+                pb.sorted_slots = build_sorted_slots(
+                    pb.inv, pb.vals, pb.uids.shape[0]
                 )
             return put(pb)
 

@@ -232,7 +232,11 @@ class SortedSlots:
     x_sorted: np.ndarray    # f32 [BLp] vals in sorted-slot order
     bidx: np.ndarray        # i32 [BLp] example index per sorted slot
     inv_sorted: np.ndarray  # i32 [BLp] monotone unique lanes
-    meta: object            # ops.segsum.SegMeta
+    # flat ops.segsum schedule arrays (flat so utils/place.py's one-level
+    # nested-dataclass placement device-puts them with the batch)
+    seg_tiles: np.ndarray   # i32 [P]
+    seg_wins: np.ndarray    # i32 [P]
+    seg_first: np.ndarray   # i32 [P]
 
 
 def build_sorted_slots(
@@ -249,9 +253,10 @@ def build_sorted_slots(
     x[:bl] = vals.reshape(-1)[perm]
     bidx = np.zeros(blp, np.int32)
     bidx[:bl] = (perm // L).astype(np.int32)
+    m = build_seg_meta(inv_s, ub)
     return SortedSlots(
         x_sorted=x, bidx=bidx, inv_sorted=inv_s,
-        meta=build_seg_meta(inv_s, ub),
+        seg_tiles=m.tiles, seg_wins=m.wins, seg_first=m.first,
     )
 
 
@@ -282,6 +287,8 @@ class ShardPreppedBatch:
     num_shards: int
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
     pair_metas: object = None  # ShardPairMetas when kernel=pairs
+    sorted_slots: object = None  # SortedSlots (stacked [S, ...]) when
+                                 # segsum=sorted
     fields_checked: bool = False  # range-validated at prep time (host)
 
     @property
@@ -584,4 +591,31 @@ def prep_batch_sharded(
         num_shards=num_shards,
         fields=batch.fields,
         fields_checked=num_fields > 0,
+    )
+
+
+def build_sorted_slots_sharded(pb: ShardPreppedBatch) -> SortedSlots:
+    """Per-shard SortedSlots for a ShardPreppedBatch, stacked [S, ...] so
+    a shard_map with P('shard') in_specs hands each device its own
+    sorted-slot arrays. Purely local host work (the worker-side gradient
+    aggregation happens BEFORE routing), so multi-process runs build this
+    in the prep workers with no collective; shapes are deterministic from
+    (per-shard batch rows, ub), so every process traces identically."""
+    S = pb.num_shards
+    B, L = pb.vals.shape
+    bs = B // S
+    parts = [
+        build_sorted_slots(
+            pb.inv.reshape(S, bs * L)[s], pb.vals[s * bs : (s + 1) * bs],
+            pb.ub,
+        )
+        for s in range(S)
+    ]
+    return SortedSlots(
+        x_sorted=np.stack([p.x_sorted for p in parts]),
+        bidx=np.stack([p.bidx for p in parts]),
+        inv_sorted=np.stack([p.inv_sorted for p in parts]),
+        seg_tiles=np.stack([p.seg_tiles for p in parts]),
+        seg_wins=np.stack([p.seg_wins for p in parts]),
+        seg_first=np.stack([p.seg_first for p in parts]),
     )

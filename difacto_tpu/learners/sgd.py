@@ -179,25 +179,35 @@ class SGDLearner:
                 # identical shapes (overflow is counted, never silent)
                 n_local = jax.local_device_count()
                 fixed = self.store.unique_size if nproc > 1 else None
-                if getattr(self.store, "pairs", False) and nproc == 1:
+                if getattr(self.store, "pairs", False):
                     # kernel=pairs: build the per-owner pair schedules in
-                    # the prep workers too, overlapped with device steps.
-                    # (Multi-process schedules need a process_allgather —
-                    # a collective, so the STORE builds them on the main
-                    # thread in lockstep step order, never here.)
-                    from ..data.prep import build_shard_pair_metas
+                    # the prep workers too, overlapped with device steps
+                    # (single-process only: multi-process schedules need a
+                    # process_allgather — a collective, so the STORE
+                    # builds them on the main thread in lockstep step
+                    # order, never here). The sorted-slot arrays for the
+                    # scatter-free grad aggregation are purely local (the
+                    # per-key sums happen before routing) — built here at
+                    # ANY process count.
+                    from ..data.prep import (
+                        build_shard_pair_metas, build_sorted_slots_sharded,
+                    )
 
                     store = self.store
+                    want_sorted = getattr(store, "sorted_grads", False)
 
                     def fn(b):
                         pb = prep_batch_sharded(
                             b, num_rows, n_local, fixed_ub=fixed,
                             num_fields=nf,
                         )
-                        pb.pair_metas = build_shard_pair_metas(
-                            pb, num_rows, store.pairs_capacity(pb),
-                            store.block_rows,
-                        )
+                        if nproc == 1:
+                            pb.pair_metas = build_shard_pair_metas(
+                                pb, num_rows, store.pairs_capacity(pb),
+                                store.block_rows,
+                            )
+                        if want_sorted:
+                            pb.sorted_slots = build_sorted_slots_sharded(pb)
                         return pb
                 else:
                     fn = lambda b: prep_batch_sharded(

@@ -116,9 +116,16 @@ def build_seg_meta(
     # window-major order (tiles of one window stay stream-ordered)
     o = np.lexsort((tiles, wins))
     tiles, wins = tiles[o], wins[o]
-    # pad the grid to a bucket with sentinel-window no-op pairs
+    # pad the grid to the DETERMINISTIC worst case — a monotone stream
+    # of T tiles over W windows has at most T + W - 1 incidences (every
+    # pair after the first opens a new tile or a new window), and the
+    # uncovered-window pads keep the total at exactly T + W - 1 + pads
+    # <= T + W. A shape derived only from (BLp, ub) means every batch of
+    # a config lands on ONE jit/Mosaic specialization and multi-process
+    # runs agree on it with no collective.
     p_real = tiles.shape[0]
-    p = _bucket(p_real, buckets)
+    p = _bucket(blp // tile_slots + n_win + 1, buckets)
+    assert p_real <= p, (p_real, p)
     tiles = np.concatenate([tiles, np.zeros(p - p_real, np.int32)])
     wins = np.concatenate([wins, np.full(p - p_real, n_win, np.int32)])
     first = np.ones(p, np.int32)

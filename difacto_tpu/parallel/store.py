@@ -373,6 +373,7 @@ class LocalStore:
             ss = build_sorted_slots(
                 np.asarray(pb.inv), np.asarray(pb.vals), pb.uids.shape[0]
             )
+            pb.sorted_slots = ss  # cached/replayed batches reuse it
         return ss
 
     def train_step_prepped(self, state, pb):
@@ -380,12 +381,11 @@ class LocalStore:
         if self.pairs and self.sorted_grads:
             m = self._pair_meta(pb)
             ss = self._sorted_slots(pb)
-            sm = ss.meta
             return self._jit_pairs_step_sorted(
                 state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
                 ss.x_sorted, ss.bidx, ss.inv_sorted,
-                sm.tiles, sm.wins, sm.first,
+                ss.seg_tiles, ss.seg_wins, ss.seg_first,
             )
         if self.pairs:
             m = self._pair_meta(pb)
@@ -578,6 +578,14 @@ class ShardedStore:
         local_nnz = (cfg.data.batch_size // self.S) * cfg.data.max_nnz_per_row
         self.unique_size = cfg.shard.unique_size or local_nnz
         self.loss = cfg.learner.loss
+        # sorted-slot segment-sum grad aggregation (ops/segsum.py): the
+        # worker-side per-key sums happen BEFORE routing, so this is
+        # purely local — multi-process safe with no collective
+        self.sorted_grads = (
+            self.pairs
+            and self.loss != "ffm"
+            and cfg.shard.segsum != "scatter"
+        )
         # libffm explicit fields: when the config declares them, every
         # step signature (and shard_map spec list) grows a trailing
         # i32 [B, L] field array sharded like vals
@@ -838,11 +846,19 @@ class ShardedStore:
                 + (P("shard", None),) * 6
                 + self._prepped_specs[8:]
             )
+            step_fn = (
+                self._prepped_pairs_step_sorted
+                if self.sorted_grads
+                else self._prepped_pairs_step
+            )
+            step_specs = pair_specs + (
+                (P("shard", None),) * 6 if self.sorted_grads else ()
+            )
             step = jax.shard_map(
-                functools.partial(self._prepped_pairs_step, capacity=C),
+                functools.partial(step_fn, capacity=C),
                 mesh=self.mesh,
                 check_vma=False,
-                in_specs=(self._state_spec,) + pair_specs,
+                in_specs=(self._state_spec,) + step_specs,
                 out_specs=(self._state_spec, self._metrics_spec),
             )
             evalf = jax.shard_map(
@@ -895,9 +911,30 @@ class ShardedStore:
         base = self.shard_prepped(pb)
         return m.capacity, base[:8] + placed + base[8:]
 
+    def _sorted_args(self, pb):
+        """Placed per-shard sorted-slot arrays (ops/segsum.py) — built in
+        the prep workers when the learner attached them (purely local:
+        no collective even multi-process), rebuilt here otherwise."""
+        ss = getattr(pb, "sorted_slots", None)
+        if ss is None:
+            from ..data.prep import build_sorted_slots_sharded
+
+            ss = build_sorted_slots_sharded(pb)
+            pb.sorted_slots = ss
+        return self._cached_place(
+            pb, "sorted",
+            lambda: self._place(
+                (ss.x_sorted, ss.bidx, ss.inv_sorted,
+                 ss.seg_tiles, ss.seg_wins, ss.seg_first),
+                (P("shard", None),) * 6,
+            ),
+        )
+
     def train_step_prepped(self, state, pb):
         if self.pairs:
             C, args = self._pairs_prepped_args(pb)
+            if self.sorted_grads:
+                args = args + self._sorted_args(pb)
             return self._pairs_jits(C)[0](state, *args)
         return self._jit_prepped_step(state, *self.shard_prepped(pb))
 
@@ -1184,6 +1221,29 @@ class ShardedStore:
         )
         state = self._push_pairs(
             state, loc, grads_u, ctx + (ab_[0], aw_[0], af_[0]), capacity
+        )
+        return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
+
+    def _prepped_pairs_step_sorted(self, state, vals, labels, mask, uids,
+                                   ucounts, inv, valid, dropped_prep,
+                                   pb_, pw_, pwf_, ab_, aw_, af_,
+                                   x_s, bidx, inv_s, st_, sw_, sf_,
+                                   *, capacity):
+        """kernel=pairs prepped step with scatter-free worker grads: the
+        per-key aggregation runs in the source device's sorted-slot space
+        (ops/segsum.py) BEFORE routing — locality identical to the
+        scatter path, so pull/all_to_all/apply are untouched."""
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, ctx, dropped = self._pull_pairs(
+            state, loc, (pb_[0], pw_[0], pwf_[0]), capacity
+        )
+        grads_p, _, metrics = worker_grads_sorted(
+            rows_u, loc, vals, labels, mask,
+            (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
+            interpret=self.interpret,
+        )
+        state = self._push_pairs(
+            state, loc, grads_p.T, ctx + (ab_[0], aw_[0], af_[0]), capacity
         )
         return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
 

@@ -123,12 +123,11 @@ def test_worker_grads_sorted_matches_scatter(K):
     args = (jnp.asarray(pb.vals), jnp.asarray(pb.labels),
             jnp.asarray(pb.mask))
     g_ref, py_ref, m_ref = worker_grads(rows_u, loc, *args)
-    sm = ss.meta
     g_s, py_s, m_s = worker_grads_sorted(
         rows_u, loc, *args,
         (jnp.asarray(ss.x_sorted), jnp.asarray(ss.bidx),
-         jnp.asarray(ss.inv_sorted), jnp.asarray(sm.tiles),
-         jnp.asarray(sm.wins), jnp.asarray(sm.first)),
+         jnp.asarray(ss.inv_sorted), jnp.asarray(ss.seg_tiles),
+         jnp.asarray(ss.seg_wins), jnp.asarray(ss.seg_first)),
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(py_s), np.asarray(py_ref),
@@ -164,6 +163,38 @@ def test_local_pairs_sorted_matches_scatter_training(K, min_ub):
             pb = prep_batch(_batch(s), N, min_ub=min_ub)
             st, _ = store.train_step_prepped(st, pb)
         states[seg] = fm_leaves(st)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_pairs_sorted_matches_scatter_training():
+    from difacto_tpu.data.prep import prep_batch_sharded
+    from difacto_tpu.parallel.store import ShardedStore
+
+    N_BITS = 12
+    states = {}
+    metrics = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "256"), ("num_bits", str(N_BITS)),
+            ("max_nnz_per_row", "12"), ("V_dim", "4"),
+            ("kernel", "pairs"), ("segsum", seg),
+        ])
+        upd = FMUpdater(cfg.model)
+        store = ShardedStore(upd, cfg, interpret=True)
+        assert store.sorted_grads == (seg == "sorted")
+        st = store.init_state(0)
+        for s in range(4):
+            pb = prep_batch_sharded(_batch(s, N=1 << N_BITS), store.num_rows,
+                                    store.S)
+            st, m = store.train_step_prepped(st, pb)
+            if seg == "sorted" and s == 0:
+                assert pb.sorted_slots is not None  # cached for replay
+        states[seg] = fm_leaves(st)
+        metrics[seg] = float(m.logloss_sum)
+    assert metrics["scatter"] == pytest.approx(metrics["sorted"], rel=1e-5)
     for a, b in zip(
         jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
     ):
