@@ -105,12 +105,23 @@ def worker_grads_sorted(
     """worker_grads with the gradient aggregation done scatter-free.
 
     The forward runs in [B, L] batch space exactly as ``worker_grads``
-    (same margins, losses, metrics). The backward is recomputed in
-    HOST-SORTED slot order — d and S gather from [B]-sized sources, V
-    re-gathers with MONOTONE indices — and per-key sums come from the
-    ops/segsum.py tile-matmul kernel instead of the 655k-index XLA
-    scatter-add (measured 10.9 ms of the 24 ms flagship step; see
-    scripts/hw_worker_breakdown.py). fm/logit only (ffm keeps scatter).
+    (same margins, losses, metrics). The backward runs in HOST-SORTED
+    slot order and per-key sums come from the ops/segsum.py tile-matmul
+    kernel instead of the 655k-index XLA scatter-add (measured 10.9 ms
+    of the 24 ms flagship step; scripts/hw_worker_breakdown.py).
+
+    The FM V-gradient needs no per-slot V at all: within a segment every
+    slot shares the key's row, so
+
+        gV[u] = sum_s dw_s * (S_b(s) - x_s * V_u)
+              = sum_s (dw_s * S_b(s))  -  V_u * sum_s (dw_s * x_s)
+
+    — two segment sums plus a per-KEY combine against the pull output.
+    That kills the [B*L]-sized V re-gather (measured +12 ms in the real
+    step composition, scripts/hw_sorted_step_bd.py: a 655k gather from a
+    just-computed tensor doesn't pipeline the way resident-input
+    microbenchmarks suggest). d and S gather from [B]-sized sources
+    (~1 ms each). fm/logit only (ffm keeps scatter).
 
     Returns grads PLANAR [1+K, U] (the pair-apply payload layout),
     plus py and metrics. Summation order differs from the scatter path
@@ -127,17 +138,23 @@ def worker_grads_sorted(
     x_s, bidx, inv_s, s_tiles, s_wins, s_first = ss_dev
     dw_s = d[bidx] * x_s                                    # [BLp]
     if K > 0:
-        S_s = fwd.S[bidx]                                   # [BLp, K]
-        V_s = rows_u[inv_s][:, 1:]                          # [BLp, K]
-        dV_s = dw_s[:, None] * (S_s - x_s[:, None] * V_s)
-        pay = jnp.concatenate([dw_s[:, None], dV_s], axis=1)
+        # payload rows: dw | dw*x | dw*S  (2 + K lanes)
+        pay = jnp.concatenate(
+            [dw_s[:, None], (dw_s * x_s)[:, None],
+             dw_s[:, None] * fwd.S[bidx]], axis=1)
     else:
         pay = dw_s[:, None]
-    pp = (D + 7) // 8 * 8
-    payT = jnp.pad(pay.T, ((0, pp - D), (0, 0)))
-    grads_p = segsum_sorted(
+    dp = pay.shape[1]
+    pp = (dp + 7) // 8 * 8
+    payT = jnp.pad(pay.T, ((0, pp - dp), (0, 0)))
+    segs = segsum_sorted(
         payT, lanes_2d(inv_s), (s_tiles, s_wins, s_first),
         ub=U, interpret=interpret,
-    )[:D]
+    )
+    if K > 0:
+        gV = segs[2 : 2 + K] - rows_u.T[1:] * segs[1][None, :]
+        grads_p = jnp.concatenate([segs[:1], gV], axis=0)
+    else:
+        grads_p = segs[:1]
     return grads_p, fwd.py, _batch_metrics(fwd.py, loss, correct,
                                            labels, mask)
