@@ -120,8 +120,11 @@ def worker_grads_sorted(
     That kills the [B*L]-sized V re-gather (measured +12 ms in the real
     step composition, scripts/hw_sorted_step_bd.py: a 655k gather from a
     just-computed tensor doesn't pipeline the way resident-input
-    microbenchmarks suggest). d and S gather from [B]-sized sources
-    (~1 ms each). fm/logit only (ffm keeps scatter).
+    microbenchmarks suggest). d and S ride ONE combined [B, 1+K] row
+    gather: two separate in-graph gathers from computed sources measured
+    +4.7 and +2.8 ms where the fused single gather costs ~1.1 ms
+    (scripts/hw_bwd_variants.py: 15.4 -> 9.7 ms for the whole
+    pull+fwd+bwd chain). fm/logit only (ffm keeps scatter).
 
     Returns grads PLANAR [1+K, U] (the pair-apply payload layout),
     plus py and metrics. Summation order differs from the scatter path
@@ -136,14 +139,16 @@ def worker_grads_sorted(
     fwd = fm_predict(vals, rows[..., 0], rows[..., 1:])
     d, loss, correct = logit_grad_coeff(fwd.py, labels, mask)
     x_s, bidx, inv_s, s_tiles, s_wins, s_first = ss_dev
-    dw_s = d[bidx] * x_s                                    # [BLp]
     if K > 0:
+        dS = jnp.concatenate([d[:, None], fwd.S], axis=1)   # [B, 1+K]
+        g = dS[bidx]                                        # [BLp, 1+K]
+        dw_s = g[:, 0] * x_s
         # payload rows: dw | dw*x | dw*S  (2 + K lanes)
         pay = jnp.concatenate(
             [dw_s[:, None], (dw_s * x_s)[:, None],
-             dw_s[:, None] * fwd.S[bidx]], axis=1)
+             dw_s[:, None] * g[:, 1:]], axis=1)
     else:
-        pay = dw_s[:, None]
+        pay = (d[bidx] * x_s)[:, None]
     dp = pay.shape[1]
     pp = (dp + 7) // 8 * 8
     payT = jnp.pad(pay.T, ((0, pp - dp), (0, 0)))
