@@ -214,12 +214,12 @@ class BCDLearner:
         from .sgd import SGDLearner
 
         # score with a process-LOCAL committed copy of w so per-process
-        # batches never mix with global arrays under jit; device_put once
-        # (a raw ndarray argument would re-ship the whole table
-        # host->device on every batch — tens of MB per call)
-        w_local = jax.device_put(
-            np.asarray(jax.device_get(w)), jax.local_devices()[0]
-        )
+        # batches never mix with global arrays under jit. w is replicated
+        # (P()), so every process already holds a full copy on its first
+        # local device — reuse that shard directly instead of round-
+        # tripping the whole table through the host (a device_get of a
+        # 2^26 table is 268 MB over this environment's tunneled link).
+        w_local = w.addressable_shards[0].data
         pys, ys = [], []
         for batch in self._batch_iter(uri):
             py = np.asarray(self._score(w_local, batch.ids, batch.vals))
