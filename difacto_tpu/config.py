@@ -176,12 +176,14 @@ class ShardParam(ParamBase):
                                    # [K, N] V (big tables, pallas)
     block_rows: int = 1024         # table rows per sweep-kernel block
     segsum: str = "auto"           # per-key gradient aggregation on the
-                                   # kernel=pairs prepped path: auto/
-                                   # sorted = sorted-slot tile-matmul
-                                   # kernel (ops/segsum.py — replaces the
-                                   # measured-10.9ms XLA scatter-add);
-                                   # scatter = the XLA scatter (exact
-                                   # same summation order as kernel=xla)
+                                   # host-prepped fm/logit paths (pairs
+                                   # AND xla): sorted = sorted-slot
+                                   # tile-matmul kernel (ops/segsum.py —
+                                   # replaces the measured-10.9ms XLA
+                                   # scatter-add); scatter = the XLA
+                                   # scatter; auto = sorted on real TPU
+                                   # (and pairs interpret tests), else
+                                   # scatter
     interpret: bool = False        # run Pallas kernels in interpret mode
                                    # (CPU testing of kernel=pallas/pairs;
                                    # does NOT check Mosaic rules)

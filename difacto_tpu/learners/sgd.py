@@ -242,6 +242,19 @@ class SGDLearner:
                                 pb.inv, pb.vals, pb.uids.shape[0]
                             )
                         return pb
+                elif getattr(self.store, "sorted_grads", False):
+                    # kernel=xla + sorted segment-sum aggregation: build
+                    # the sorted-slot arrays in the prep workers too
+                    from ..data.prep import build_sorted_slots
+
+                    def fn(b):
+                        pb = prep_batch(
+                            b, num_rows, min_ub=min_ub, num_fields=nf
+                        )
+                        pb.sorted_slots = build_sorted_slots(
+                            pb.inv, pb.vals, pb.uids.shape[0]
+                        )
+                        return pb
                 else:
                     fn = lambda b: prep_batch(
                         b, num_rows, min_ub=min_ub, num_fields=nf

@@ -183,12 +183,23 @@ class LocalStore:
         self.num_fields = cfg.model.num_fields
         self.expects_fields = cfg.expects_fields()
         # sorted-slot segment-sum gradient aggregation (ops/segsum.py):
-        # the pairs path's default — the XLA scatter-add it replaces
-        # measured 10.9 ms of the 24 ms flagship step (BENCH.md r4)
-        self.sorted_grads = (
-            self.pairs
-            and self.loss != "ffm"
-            and cfg.shard.segsum != "scatter"
+        # default wherever the batch is host-prepped and the loss is
+        # fm/logit — the XLA scatter-add it replaces measured 10.9 ms of
+        # the 24 ms flagship step (BENCH.md r4), and the win is table-
+        # size independent, so the kernel=xla big-table path (auto past
+        # 2^23 rows/shard) rides it too. The segment-sum kernel is
+        # Mosaic: on non-TPU backends segsum=auto stays on the scatter
+        # path (interpret-mode grids are minutes per step at real
+        # shapes), while an explicit segsum=sorted runs it interpreted
+        # (kernel testing).
+        on_tpu = jax.default_backend() == "tpu"
+        self._segsum_interpret = interpret or not on_tpu
+        self.sorted_grads = self.loss != "ffm" and (
+            cfg.shard.segsum == "sorted"
+            or (
+                cfg.shard.segsum == "auto"
+                and (self.pairs or (not self.pallas and on_tpu))
+            )
         )
         self.train_step = jax.jit(self._step, donate_argnums=0)
         self.eval_step = jax.jit(self._eval)
@@ -198,6 +209,9 @@ class LocalStore:
         self._jit_pairs_eval = jax.jit(self._pairs_eval)
         self._jit_pairs_step_sorted = jax.jit(
             self._pairs_step_sorted, donate_argnums=0
+        )
+        self._jit_prepped_step_sorted = jax.jit(
+            self._prepped_step_sorted, donate_argnums=0
         )
 
     def init_state(self, seed: int = 0):
@@ -356,6 +370,44 @@ class LocalStore:
         )
         return metrics, py
 
+    def _prepped_step_sorted(self, state, vals, labels, mask, uids, ucounts,
+                             inv, valid, x_s, bidx, inv_s,
+                             s_tiles, s_wins, s_first):
+        """Host-prepped train step with the scatter-free sorted backward
+        (ops/segsum.py) feeding the XLA (or whole-table-sweep) table
+        update — the same aggregation the pairs path rides, which is
+        table-size independent and replaces the step's largest XLA term
+        (the [B*L] -> [U] scatter-add; BENCH.md r4). fm/logit only."""
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        if self._use_sweep_pull(uids.shape[0]):
+            from ..ops.sweep import sweep_pull
+
+            rows_u = sweep_pull(
+                state, uids, valid, self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            rows_u = self.updater.pull(state, uids, valid)
+        grads_p, _, metrics = worker_grads_sorted(
+            rows_u, loc, vals, labels, mask,
+            (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
+            interpret=self._segsum_interpret,
+        )
+        # zero the never-visited (sentinel) lanes: their segment-sum
+        # output is undefined VMEM and the updater's multiplicative
+        # masks would turn an Inf there into a committed NaN
+        grads_u = jnp.where(valid[:, None], grads_p.T, 0.0)
+        if self.pallas:
+            from ..ops.sweep import sweep_apply
+
+            state = sweep_apply(
+                state, uids, grads_u, ucounts, valid, self.updater.param,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            state = self.updater.update(state, uids, grads_u, ucounts, valid)
+        return state, metrics
+
     def _batch_fields(self, pb):
         """The per-slot field array a step should see (None unless the
         config declares explicit libffm fields)."""
@@ -393,6 +445,14 @@ class LocalStore:
                 state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
                 fields=fields,
+            )
+        if self.sorted_grads:
+            ss = self._sorted_slots(pb)
+            return self._jit_prepped_step_sorted(
+                state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
+                pb.inv, pb.valid,
+                ss.x_sorted, ss.bidx, ss.inv_sorted,
+                ss.seg_tiles, ss.seg_wins, ss.seg_first,
             )
         return self._jit_prepped_step(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
@@ -580,11 +640,17 @@ class ShardedStore:
         self.loss = cfg.learner.loss
         # sorted-slot segment-sum grad aggregation (ops/segsum.py): the
         # worker-side per-key sums happen BEFORE routing, so this is
-        # purely local — multi-process safe with no collective
-        self.sorted_grads = (
-            self.pairs
-            and self.loss != "ffm"
-            and cfg.shard.segsum != "scatter"
+        # purely local — multi-process safe with no collective. Default
+        # for fm/logit on the pairs path and on the kernel=xla path on
+        # real TPU (same rationale as LocalStore.sorted_grads).
+        on_tpu = jax.default_backend() == "tpu"
+        self._segsum_interpret = interpret or not on_tpu
+        self.sorted_grads = self.loss != "ffm" and (
+            cfg.shard.segsum == "sorted"
+            or (
+                cfg.shard.segsum == "auto"
+                and (self.pairs or (not self.pallas and on_tpu))
+            )
         )
         # libffm explicit fields: when the config declares them, every
         # step signature (and shard_map spec list) grows a trailing
@@ -669,6 +735,19 @@ class ShardedStore:
             out_specs=(metrics_spec, P("shard")),
         )
         self._jit_prepped_eval = jax.jit(peval)
+        if self.sorted_grads and not self.pairs:
+            # kernel=xla big-table path with the scatter-free sorted
+            # backward: same prepped args + the six stacked sorted-slot
+            # arrays (fm/logit only, so never a fields spec)
+            strain = jax.shard_map(
+                self._prepped_step_sorted,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(state_spec,) + prepped_specs
+                + (P("shard", None),) * 6,
+                out_specs=(state_spec, metrics_spec),
+            )
+            self._jit_prepped_step_sorted = jax.jit(strain, donate_argnums=0)
 
         # owner-side pair kernels (kernel=pairs): jitted steps are built
         # lazily per all_to_all capacity — the host picks the capacity
@@ -936,6 +1015,10 @@ class ShardedStore:
             if self.sorted_grads:
                 args = args + self._sorted_args(pb)
             return self._pairs_jits(C)[0](state, *args)
+        if self.sorted_grads:
+            return self._jit_prepped_step_sorted(
+                state, *(self.shard_prepped(pb) + self._sorted_args(pb))
+            )
         return self._jit_prepped_step(state, *self.shard_prepped(pb))
 
     def eval_step_prepped(self, state, pb):
@@ -1074,6 +1157,23 @@ class ShardedStore:
             fields=fields, num_fields=self.num_fields,
         )
         return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
+
+    def _prepped_step_sorted(self, state, vals, labels, mask, uids, ucounts,
+                             inv, valid, dropped_prep,
+                             x_s, bidx, inv_s, st_, sw_, sf_):
+        """kernel=xla prepped step with scatter-free worker grads: the
+        per-key aggregation runs in the source device's sorted-slot
+        space (ops/segsum.py) BEFORE routing — pull/all_to_all/push are
+        untouched (_push's ok-mask zeroes the junk sentinel lanes)."""
+        loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        rows_u, ctx, dropped = self._pull(state, loc)
+        grads_p, _, metrics = worker_grads_sorted(
+            rows_u, loc, vals, labels, mask,
+            (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
+            interpret=self._segsum_interpret,
+        )
+        state = self._push(state, loc, grads_p.T, ctx)
+        return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
 
     # -- owner-side pair kernels (ops/pair_sweep.py): the receive stream
     # after the id all_to_all is segment-sorted (each source's bucket is a

@@ -199,3 +199,90 @@ def test_sharded_pairs_sorted_matches_scatter_training():
         jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
     ):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "K,layout", [(4, "packed"), (4, "planar"), (0, "packed")]
+)
+def test_local_xla_sorted_matches_scatter_training(K, layout):
+    """kernel=xla + segsum=sorted (the big-table path's aggregation —
+    table-size independent, same kernel as pairs) trains bit-close to
+    the plain XLA scatter path, both layouts."""
+    N = 4096
+    states = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "256"), ("num_bits", "12"),
+            ("max_nnz_per_row", "12"), ("V_dim", str(K)),
+            ("kernel", "xla"), ("segsum", seg), ("layout", layout),
+        ])
+        upd = FMUpdater(cfg.model)
+        store = LocalStore(upd, cfg)
+        assert store.sorted_grads == (seg == "sorted")
+        assert not store.pallas and not store.pairs
+        st = store.init_state(0)
+        for s in range(5):
+            pb = prep_batch(_batch(s), N)
+            st, _ = store.train_step_prepped(st, pb)
+        states[seg] = fm_leaves(st)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_local_sweep_sorted_matches_scatter_training():
+    """The whole-table-sweep (pallas, interpret) prepped path also rides
+    the sorted backward when segsum=sorted."""
+    N = 4096
+    states = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "256"), ("num_bits", "12"),
+            ("max_nnz_per_row", "12"), ("V_dim", "4"),
+            ("kernel", "pallas"), ("interpret", "1"), ("segsum", seg),
+        ])
+        upd = FMUpdater(cfg.model)
+        store = LocalStore(upd, cfg, interpret=True)
+        assert store.pallas and store.sorted_grads == (seg == "sorted")
+        st = store.init_state(0)
+        for s in range(4):
+            pb = prep_batch(_batch(s), N)
+            st, _ = store.train_step_prepped(st, pb)
+        states[seg] = fm_leaves(st)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_xla_sorted_matches_scatter_training():
+    """ShardedStore kernel=xla + segsum=sorted: worker-side sorted
+    aggregation before routing ≡ the scatter path, multi-step."""
+    from difacto_tpu.data.prep import prep_batch_sharded
+    from difacto_tpu.parallel.store import ShardedStore
+
+    N_BITS = 12
+    states = {}
+    metrics = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "256"), ("num_bits", str(N_BITS)),
+            ("max_nnz_per_row", "12"), ("V_dim", "4"),
+            ("kernel", "xla"), ("segsum", seg),
+        ])
+        upd = FMUpdater(cfg.model)
+        store = ShardedStore(upd, cfg)
+        assert store.sorted_grads == (seg == "sorted")
+        st = store.init_state(0)
+        for s in range(4):
+            pb = prep_batch_sharded(_batch(s, N=1 << N_BITS), store.num_rows,
+                                    store.S)
+            st, m = store.train_step_prepped(st, pb)
+        states[seg] = fm_leaves(st)
+        metrics[seg] = float(m.logloss_sum)
+    assert metrics["scatter"] == pytest.approx(metrics["sorted"], rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
