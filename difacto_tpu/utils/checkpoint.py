@@ -74,6 +74,50 @@ def _index_key(name: str, index, shape) -> str:
     return name + "@" + ",".join(parts)
 
 
+_FETCH_ELEMS = 32 << 20  # ~128 MB of f32 per device->host transfer
+
+
+def _fetch_chunks(dev, max_elems: int) -> np.ndarray:
+    """One single-device array -> host, sliced along the last axis so no
+    individual transfer exceeds ``max_elems`` elements."""
+    n = dev.shape[-1] if dev.ndim else 1
+    per = 1
+    for d in dev.shape[:-1]:
+        per *= d
+    step = max(max_elems // max(per, 1), 1)
+    if dev.ndim == 0 or n <= step:
+        return np.asarray(dev)
+    out = np.empty(dev.shape, dev.dtype)
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        out[..., lo:hi] = np.asarray(dev[..., lo:hi])
+    return out
+
+
+def _fetch_np(arr, max_elems: int = 0) -> np.ndarray:
+    """Device -> host in bounded chunks.
+
+    One monolithic multi-GB fetch can stall this environment's tunneled
+    device transport (observed: a 9.7 GB ``device_get`` of the 2^26
+    state made zero progress for 30+ minutes), and chunking also bounds
+    peak transfer-buffer memory. Sharded arrays are fetched per
+    addressable shard (cross-shard eager slicing is not resolvable),
+    chunked along the row axis within each shard."""
+    max_elems = max_elems or _FETCH_ELEMS
+    shards = getattr(arr, "addressable_shards", None)
+    if shards is None:
+        return np.asarray(arr)
+    out = np.empty(arr.shape, arr.dtype)
+    seen = set()  # replicated arrays: every shard covers the same range
+    for s in shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:
+            continue
+        seen.add(key)
+        out[s.index] = _fetch_chunks(s.data, max_elems)
+    return out
+
+
 def save(path_prefix: str, state, meta: dict | None = None) -> str:
     if isinstance(state, PackedFMState):
         # checkpoints always use the FMState interchange layout, so a
@@ -90,9 +134,8 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
         k: list(getattr(state, k).shape) for k in _LEAVES
     }
     if jax.process_count() == 1:
-        host = jax.device_get(state)
         npz = path_prefix + ".npz"
-        _write_npz(npz, {k: np.asarray(getattr(host, k)) for k in _LEAVES})
+        _write_npz(npz, {k: _fetch_np(getattr(state, k)) for k in _LEAVES})
         _write_text(path_prefix + ".meta.json", json.dumps(full_meta, indent=1))
         return npz
     # multi-process: save addressable shards only (per-server semantics)
@@ -101,7 +144,7 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
     for name in _LEAVES:
         arr = getattr(state, name)
         for s in arr.addressable_shards:
-            payload[_index_key(name, s.index, arr.shape)] = np.asarray(s.data)
+            payload[_index_key(name, s.index, arr.shape)] = _fetch_np(s.data)
     npz = f"{path_prefix}.proc{pid}.npz"
     _write_npz(npz, payload)
     if pid == 0:

@@ -508,3 +508,35 @@ def test_allgather_pairs_keeps_negative_labels(monkeypatch):
     # 2 simulated processes x 3 real pairs; the 2x2 pad lanes are dropped
     assert len(yg) == 6 and len(pg) == 6
     assert (yg == -1.0).sum() == 4 and (yg == 1.0).sum() == 2
+
+
+def test_checkpoint_chunked_fetch(data, tmp_path, monkeypatch):
+    """The save path fetches device arrays in bounded chunks (a single
+    multi-GB device_get stalls the tunneled transport — BENCH.md r4);
+    tiny chunk sizes must round-trip bit-exact, sharded arrays included."""
+    import jax.numpy as jnp
+
+    from difacto_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(3)
+    for shape in ((130,), (3, 130), (8, 1), ()):
+        a = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        np.testing.assert_array_equal(
+            ckpt._fetch_np(a, max_elems=7), np.asarray(a)
+        )
+    # whole save/load round-trip with chunking forced on every leaf
+    monkeypatch.setattr(ckpt, "_FETCH_ELEMS", 64)
+    cfg = _cfg(data, max_num_epochs=1, model_out=str(tmp_path / "m"))
+    learner = SGDLearner(cfg)
+    learner.run()
+    from difacto_tpu.updaters.updater import PackedFMState, unpack_state
+
+    state = learner.state
+    if isinstance(state, PackedFMState):
+        state = unpack_state(state)
+    saved = ckpt.load(str(tmp_path / "m"))[0]
+    for k in ("w", "z", "n", "V", "nV", "cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(saved, k)),
+            ckpt._fetch_np(getattr(state, k)),
+        )
