@@ -149,12 +149,21 @@ class LearnerParam(ParamBase):
     save_interval_epochs: int = 1
     save_interval_steps: int = 0   # also checkpoint every N steps (0 = off);
                                    # resume skips the consumed batches
+    exact_auc_cap: int = 4 << 20   # max host-collected (label, score) pairs
+                                   # for the exact validation AUC; past it a
+                                   # uniform reservoir sample of this many
+                                   # pairs replaces the collection and the
+                                   # epoch row says so ("over N of M"). The
+                                   # streaming binned `auc` (with its
+                                   # computable error bound) always covers
+                                   # the full pass. 0 disables exact AUC.
     bcd_num_blocks: int = 256      # feature blocks (reference: feagrp bits)
     bcd_tile_dir: str = ""         # disk tile cache location (reference
                                    # TileStore); "" = a fresh temp dir
 
     def validate(self) -> None:
         assert self.learner in ("sgd", "bcd")
+        assert self.exact_auc_cap >= 0
 
 
 @dataclass

@@ -34,11 +34,6 @@ from ..utils.progress import Progress, Reporter
 
 log = logging.getLogger("difacto_tpu")
 
-# cap on host-collected (py, label) pairs for exact validation AUC;
-# beyond this the streaming binned AUC (already additive) is reported.
-_EXACT_AUC_CAP = 4 << 20
-
-
 @jax.jit
 def _merge_metrics(a, b):
     return jax.tree.map(jnp.add, a, b)
@@ -463,8 +458,11 @@ class SGDLearner:
         # the collection (a prefix of a time-/file-ordered eval stream
         # would be a biased sample). The streaming binned AUC (additive,
         # psum-replicated) always covers the full pass.
-        local_cap = max(_EXACT_AUC_CAP // jax.process_count(), 1)
-        res = _Reservoir(local_cap, self.cfg.data.seed)
+        cap = self.cfg.learner.exact_auc_cap
+        res = None
+        if cap > 0:
+            local_cap = max(cap // jax.process_count(), 1)
+            res = _Reservoir(local_cap, self.cfg.data.seed)
         for batch in self._iter(uri, shuffle=False):
             if self._host_localize:
                 metrics, py = self.store.eval_step_prepped(self.state, batch)
@@ -475,23 +473,29 @@ class SGDLearner:
                 )
                 metrics, py = self.store.eval_step(self.state, *args)
             acc = metrics if acc is None else _merge_metrics(acc, metrics)
-            keep = np.asarray(batch.mask) > 0
-            res.add(
-                np.asarray(batch.labels)[keep], self._local_scores(py)[keep]
-            )
+            if res is not None:
+                keep = np.asarray(batch.mask) > 0
+                res.add(
+                    np.asarray(batch.labels)[keep],
+                    self._local_scores(py)[keep],
+                )
         if acc is not None:
             self._fold(prog, acc)
-        if jax.process_count() > 1 or res.n_seen:
+        if res is not None and (jax.process_count() > 1 or res.n_seen):
             y, p = self._allgather_pairs(*res.sample())
             if len(y):
                 prog.exact_auc = exact_auc(y, p)
                 prog.exact_auc_truncated = res.truncated
+                prog.exact_auc_n = len(y)
+                prog.exact_auc_of = int(prog.num_examples)
                 if res.truncated:
                     log.info(
                         "exact AUC computed on a uniform reservoir sample "
-                        "of %d of %d examples (cap %d); the streaming "
-                        "binned `auc` column covers the full pass exactly",
-                        len(y), res.n_seen, _EXACT_AUC_CAP,
+                        "of %d of %d examples (cap %d, config knob "
+                        "exact_auc_cap); the streaming binned `auc` column "
+                        "covers the full pass exactly (error bound %.2e)",
+                        len(y), prog.exact_auc_of, cap,
+                        prog.auc_error_bound,
                     )
         return prog
 
@@ -524,8 +528,13 @@ class SGDLearner:
             if cfg.data.data_val:
                 va = self.eval_pass(cfg.data.data_val)
                 auc = getattr(va, "exact_auc", None) or va.auc
+                sampled = (
+                    " (over %d of %d sampled)" % (va.exact_auc_n, va.exact_auc_of)
+                    if va.exact_auc_truncated else ""
+                )
                 log.info(
-                    "epoch %d valid: %s exact_auc %.6f", epoch, va.row(), auc
+                    "epoch %d valid: %s exact_auc %.6f%s",
+                    epoch, va.row(), auc, sampled,
                 )
                 last = va
             else:

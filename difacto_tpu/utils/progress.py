@@ -34,7 +34,9 @@ class Progress:
     nnz_w: float = 0.0            # latest snapshot (not additive)
     nnz_V: float = 0.0
     exact_auc: float | None = None  # host sort-based AUC when collected
-    exact_auc_truncated: bool = False  # exact_auc covers only a capped prefix
+    exact_auc_truncated: bool = False  # exact_auc is reservoir-sampled
+    exact_auc_n: int = 0          # pairs the exact AUC was computed over
+    exact_auc_of: int = 0         # total pairs seen in the pass
 
     def merge(self, other: "Progress") -> "Progress":
         self.num_examples += other.num_examples

@@ -112,24 +112,30 @@ def test_sharded_checkpoint_roundtrip(data, tmp_path, monkeypatch):
     assert prog.exact_auc is not None
 
 
-def test_exact_auc_cap_reports_reservoir_sample(data, monkeypatch):
-    """When validation exceeds the host-collection cap, exact AUC is
-    computed on a uniform reservoir sample and flagged truncated — never
+def test_exact_auc_cap_reports_reservoir_sample(data):
+    """When validation exceeds the host-collection cap (config knob
+    exact_auc_cap), exact AUC is computed on a uniform reservoir sample,
+    flagged truncated, and annotated with the sampled/total counts — never
     discarded, and never a biased prefix of an ordered eval stream."""
-    import difacto_tpu.learners.sgd as sgd_mod
-
-    monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 600)  # < 2000 val rows
-    learner = SGDLearner(_cfg(data, max_num_epochs=1))
+    learner = SGDLearner(_cfg(data, max_num_epochs=1, exact_auc_cap=600))
     learner.train_epoch(0)
     prog = learner.eval_pass(learner.cfg.data.data_val)
     assert prog.exact_auc is not None
     assert prog.exact_auc_truncated
+    assert prog.exact_auc_n == 600 and prog.exact_auc_of == 2000
     # the sampled AUC is a real estimate: compare against the full-pass
     # exact AUC from an uncapped run of the same state
-    monkeypatch.setattr(sgd_mod, "_EXACT_AUC_CAP", 4 << 20)
+    learner.cfg.learner.exact_auc_cap = 4 << 20
     full = learner.eval_pass(learner.cfg.data.data_val)
     assert not full.exact_auc_truncated
     assert abs(prog.exact_auc - full.exact_auc) < 0.08
+    # the full-pass binned AUC's computable error bound must bracket the
+    # sampled exact value up to the sampling error itself
+    assert abs(prog.auc - full.exact_auc) <= prog.auc_error_bound
+    # cap = 0 disables host collection entirely; binned AUC still reported
+    learner.cfg.learner.exact_auc_cap = 0
+    off = learner.eval_pass(learner.cfg.data.data_val)
+    assert off.exact_auc is None and off.auc > 0.5
 
 
 def test_tail_feature_filter_runs(data):
