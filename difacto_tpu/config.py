@@ -179,10 +179,17 @@ class ShardParam(ParamBase):
                                    # pairs (touched-block sweeps) | auto
                                    # (= pairs on single-process TPU with
                                    # host_localize, else xla)
-    layout: str = "auto"           # packed | planar | auto: packed = one
-                                   # [N, 4+2K] row table (fastest under
-                                   # XLA); planar = split w/z/n/cnt +
-                                   # [K, N] V (big tables, pallas)
+    layout: str = "auto"           # packed | planar | stacked | auto:
+                                   # packed = one [N, 4+2K] row table
+                                   # (fastest under XLA, 128-lane row pad
+                                   # caps it ~2^24); stacked = one
+                                   # [4+2K, N] table (ONE gather + ONE
+                                   # scatter per step with no row pad —
+                                   # the big-table XLA layout); planar =
+                                   # split w/z/n/cnt + [K, N] V (pallas
+                                   # table kernels). auto = packed up to
+                                   # 2^24, stacked above, planar for
+                                   # kernel=pallas/pairs
     block_rows: int = 1024         # table rows per sweep-kernel block
     segsum: str = "auto"           # per-key gradient aggregation on the
                                    # host-prepped fm/logit paths (pairs

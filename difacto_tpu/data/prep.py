@@ -237,10 +237,16 @@ class SortedSlots:
     seg_tiles: np.ndarray   # i32 [P]
     seg_wins: np.ndarray    # i32 [P]
     seg_first: np.ndarray   # i32 [P]
+    # flat [B*L] slot index per sorted slot (the sort permutation itself;
+    # pads carry 0 and are masked by the static arange(BLp) < B*L mask on
+    # device). Built only for loss=ffm — its per-slot dV4 has no per-key
+    # factoring, so the sorted backward gathers the batch-space per-slot
+    # gradient rows instead (learners/step.py::worker_grads_sorted).
+    slot_sorted: np.ndarray | None = None
 
 
 def build_sorted_slots(
-    inv: np.ndarray, vals: np.ndarray, ub: int
+    inv: np.ndarray, vals: np.ndarray, ub: int, with_slots: bool = False
 ) -> SortedSlots:
     """SortedSlots for one prepped batch (``inv`` [B*L], ``vals`` [B, L])."""
     from ..ops.segsum import build_seg_meta, pad_sorted_stream
@@ -253,10 +259,15 @@ def build_sorted_slots(
     x[:bl] = vals.reshape(-1)[perm]
     bidx = np.zeros(blp, np.int32)
     bidx[:bl] = (perm // L).astype(np.int32)
+    slot_s = None
+    if with_slots:
+        slot_s = np.zeros(blp, np.int32)
+        slot_s[:bl] = perm.astype(np.int32)
     m = build_seg_meta(inv_s, ub)
     return SortedSlots(
         x_sorted=x, bidx=bidx, inv_sorted=inv_s,
         seg_tiles=m.tiles, seg_wins=m.wins, seg_first=m.first,
+        slot_sorted=slot_s,
     )
 
 
@@ -594,7 +605,9 @@ def prep_batch_sharded(
     )
 
 
-def build_sorted_slots_sharded(pb: ShardPreppedBatch) -> SortedSlots:
+def build_sorted_slots_sharded(
+    pb: ShardPreppedBatch, with_slots: bool = False
+) -> SortedSlots:
     """Per-shard SortedSlots for a ShardPreppedBatch, stacked [S, ...] so
     a shard_map with P('shard') in_specs hands each device its own
     sorted-slot arrays. Purely local host work (the worker-side gradient
@@ -607,7 +620,7 @@ def build_sorted_slots_sharded(pb: ShardPreppedBatch) -> SortedSlots:
     parts = [
         build_sorted_slots(
             pb.inv.reshape(S, bs * L)[s], pb.vals[s * bs : (s + 1) * bs],
-            pb.ub,
+            pb.ub, with_slots=with_slots,
         )
         for s in range(S)
     ]
@@ -618,4 +631,7 @@ def build_sorted_slots_sharded(pb: ShardPreppedBatch) -> SortedSlots:
         seg_tiles=np.stack([p.seg_tiles for p in parts]),
         seg_wins=np.stack([p.seg_wins for p in parts]),
         seg_first=np.stack([p.seg_first for p in parts]),
+        slot_sorted=(
+            np.stack([p.slot_sorted for p in parts]) if with_slots else None
+        ),
     )

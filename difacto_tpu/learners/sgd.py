@@ -160,6 +160,9 @@ class SGDLearner:
         # host numpy (the prepped paths device-place batches before the
         # store's own validation would see them)
         nf = self.cfg.model.num_fields if self.cfg.expects_fields() else 0
+        # ffm's sorted backward additionally needs the sort permutation
+        # (SortedSlots.slot_sorted) for its per-slot payload gather
+        want_slots = self.cfg.learner.loss == "ffm"
         fn = None
         if localize is False:
             pass
@@ -202,7 +205,9 @@ class SGDLearner:
                                 store.block_rows,
                             )
                         if want_sorted:
-                            pb.sorted_slots = build_sorted_slots_sharded(pb)
+                            pb.sorted_slots = build_sorted_slots_sharded(
+                                pb, with_slots=want_slots
+                            )
                         return pb
                 else:
                     fn = lambda b: prep_batch_sharded(
@@ -234,7 +239,8 @@ class SGDLearner:
                         pb.pair_meta = build_pair_meta(pb.uids, num_rows, br)
                         if want_sorted:
                             pb.sorted_slots = build_sorted_slots(
-                                pb.inv, pb.vals, pb.uids.shape[0]
+                                pb.inv, pb.vals, pb.uids.shape[0],
+                                with_slots=want_slots,
                             )
                         return pb
                 elif getattr(self.store, "sorted_grads", False):
@@ -247,7 +253,8 @@ class SGDLearner:
                             b, num_rows, min_ub=min_ub, num_fields=nf
                         )
                         pb.sorted_slots = build_sorted_slots(
-                            pb.inv, pb.vals, pb.uids.shape[0]
+                            pb.inv, pb.vals, pb.uids.shape[0],
+                            with_slots=want_slots,
                         )
                         return pb
                 else:

@@ -100,6 +100,11 @@ def worker_grads_sorted(
     ss_dev: tuple,         # (x_sorted [BLp], bidx [BLp], inv_sorted [BLp],
                            #  seg tiles, seg wins, seg first) on device
     *,
+    loss: str = "fm",      # fm | ffm (fm with K=0 == logit)
+    fields: jnp.ndarray | None = None,  # i32 [B, L] libffm fields (ffm)
+    num_fields: int = 0,   # ffm field count F (0 = F = L, slot position)
+    slot_s: jnp.ndarray | None = None,  # i32 [BLp] flat B*L slot per sorted
+                           # slot (the sort permutation; ffm only)
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
     """worker_grads with the gradient aggregation done scatter-free.
@@ -124,7 +129,16 @@ def worker_grads_sorted(
     gather: two separate in-graph gathers from computed sources measured
     +4.7 and +2.8 ms where the fused single gather costs ~1.1 ms
     (scripts/hw_bwd_variants.py: 15.4 -> 9.7 ms for the whole
-    pull+fwd+bwd chain). fm/logit only (ffm keeps scatter).
+    pull+fwd+bwd chain).
+
+    FFM rides the same segment-sum kernel but with a DIRECT per-slot
+    payload: its dV4 has no per-key factoring (each slot's gradient
+    depends on the slot's field-crossed partners), and ffm_loss_grad
+    already materializes the per-slot [B, L, F, k] gradient in batch
+    space — so the payload is one fused [B*L, 1+K] gather by the sort
+    permutation ``slot_s`` (pads masked by the static arange(BLp) < B*L
+    mask), replacing the [B*L] -> [U] XLA scatter-add with the segsum
+    tile-matmul.
 
     Returns grads PLANAR [1+K, U] (the pair-apply payload layout),
     plus py and metrics. Summation order differs from the scatter path
@@ -136,9 +150,30 @@ def worker_grads_sorted(
     U, D = rows_u.shape
     K = D - 1
     rows = rows_u[loc.inv].reshape(B, L, D)
+    x_s, bidx, inv_s, s_tiles, s_wins, s_first = ss_dev
+    if loss == "ffm":
+        F = num_fields or L
+        assert K % F == 0, "ffm rows must be [U, 1 + F*k]"
+        V4 = rows[..., 1:].reshape(B, L, F, K // F)
+        fwd, g = ffm_loss_grad(vals, rows[..., 0], V4, labels, mask,
+                               fields=fields)
+        flat = jnp.concatenate(
+            [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
+        )
+        blp = slot_s.shape[0]
+        real = (jnp.arange(blp) < B * L)[:, None]  # static pad mask
+        pay = jnp.where(real, flat[slot_s], 0.0)   # [BLp, 1+K]
+        dp = pay.shape[1]
+        pp = (dp + 7) // 8 * 8
+        payT = jnp.pad(pay.T, ((0, pp - dp), (0, 0)))
+        segs = segsum_sorted(
+            payT, lanes_2d(inv_s), (s_tiles, s_wins, s_first),
+            ub=U, interpret=interpret,
+        )
+        return segs[:D], fwd.py, _batch_metrics(fwd.py, g.loss, g.correct,
+                                                labels, mask)
     fwd = fm_predict(vals, rows[..., 0], rows[..., 1:])
     d, loss, correct = logit_grad_coeff(fwd.py, labels, mask)
-    x_s, bidx, inv_s, s_tiles, s_wins, s_first = ss_dev
     if K > 0:
         dS = jnp.concatenate([d[:, None], fwd.S], axis=1)   # [B, 1+K]
         g = dS[bidx]                                        # [BLp, 1+K]

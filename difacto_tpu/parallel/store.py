@@ -43,7 +43,8 @@ from ..config import Config
 from ..learners.step import StepMetrics, worker_grads, worker_grads_sorted
 from ..ops.localize import Localized, localize
 from ..updaters.updater import (
-    FMState, FMUpdater, PackedFMState, pack_state, unpack_state,
+    FMState, FMUpdater, PackedFMState, StackedFMState, pack_state,
+    stack_state, unpack_state, unstack_state,
 )
 
 log = logging.getLogger("difacto_tpu")
@@ -87,18 +88,23 @@ def _cap_ladder(c: int) -> int:
 
 def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
     """packed = one [N, 4+2K] row table (ONE gather + ONE scatter per
-    step, measured much faster under XLA); planar = split arrays with
-    V [K, N] (no 128-lane padding — the layout for huge tables and the
-    Pallas sweep/pair kernels). auto: packed for the XLA path when the
-    packed table's physical size (N x 128 lanes x 4 B) stays
-    comfortable."""
+    step, measured much faster under XLA; its 128-lane physical row pad
+    caps it ~2^24); stacked = one [4+2K, N] table (ONE gather + ONE
+    scatter with only an 8-sublane pad — XLA TPU scatters cost
+    per-INDEX, so one index loop replaces six: 2^26 update 42 -> 20 ms,
+    scripts/hw_scatter_probe.py); planar = split arrays with V [K, N]
+    (the Pallas sweep/pair kernels' layout). auto: packed for the XLA
+    path while the row pad is comfortable, stacked above."""
     lay = cfg.shard.layout
     if lay == "auto":
         if needs_planar:
             return "planar"
-        return "packed" if cfg.data.num_bits <= 24 else "planar"
-    if lay == "packed" and needs_planar:
-        raise ValueError("layout=packed is incompatible with kernel="
+        return "packed" if cfg.data.num_bits <= 24 else "stacked"
+    if lay not in ("packed", "planar", "stacked"):
+        raise ValueError(f"layout must be auto|packed|planar|stacked, "
+                         f"got {lay!r}")
+    if lay in ("packed", "stacked") and needs_planar:
+        raise ValueError(f"layout={lay} is incompatible with kernel="
                          f"{cfg.shard.kernel!r} (the Pallas table kernels "
                          "need the planar [K, N] layout)")
     return lay
@@ -194,7 +200,7 @@ class LocalStore:
         # (kernel testing).
         on_tpu = jax.default_backend() == "tpu"
         self._segsum_interpret = interpret or not on_tpu
-        self.sorted_grads = self.loss != "ffm" and (
+        self.sorted_grads = (
             cfg.shard.segsum == "sorted"
             or (
                 cfg.shard.segsum == "auto"
@@ -217,6 +223,8 @@ class LocalStore:
     def init_state(self, seed: int = 0):
         if self.layout == "packed":
             return self.updater.init_state_packed(self.num_rows, seed)
+        if self.layout == "stacked":
+            return self.updater.init_state_stacked(self.num_rows, seed)
         return self.updater.init_state(self.num_rows, seed)
 
     def place_state(self, host_state: FMState):
@@ -249,6 +257,29 @@ class LocalStore:
                 f"is {self.num_rows} (num_bits mismatch — retrain or load "
                 f"with the original num_bits)"
             )
+        if self.layout == "stacked":
+            # plane-at-a-time placement: device_put of the whole planar
+            # state next to the stacked table would transiently hold
+            # ~2.1x the table (OOMs a 2^26 checkpoint load on one chip)
+            k = self.updater.param.V_dim
+            tbl = jax.jit(
+                lambda: jnp.zeros((4 + 2 * k, self.num_rows), jnp.float32)
+            )()
+            set_at = jax.jit(
+                lambda t, r, i: jax.lax.dynamic_update_slice(
+                    t, jnp.atleast_2d(r), (i, 0)
+                ),
+                donate_argnums=0,
+            )
+            planes = [("w", 0), ("z", 1), ("n", 2), ("cnt", 3)]
+            if k > 0:
+                planes += [("V", 4), ("nV", 4 + k)]
+            for name, i in planes:
+                tbl = set_at(
+                    tbl, jax.device_put(np.asarray(getattr(host_state, name))),
+                    jnp.int32(i),
+                )
+            return StackedFMState(tbl=tbl)
         placed = jax.device_put(host_state)
         if self.layout == "packed":
             return jax.jit(pack_state)(placed)
@@ -288,7 +319,8 @@ class LocalStore:
                 block_rows=self.block_rows, interpret=self.interpret,
             )
         else:
-            rows_u = self.updater.pull(state, loc.uids, loc.valid)
+            rows_u = self.updater.pull(state, loc.uids, loc.valid,
+                                       sorted_unique=True)
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
             fields=fields, num_fields=self.num_fields,
@@ -312,7 +344,8 @@ class LocalStore:
             )
         else:
             state = self.updater.update(
-                state, loc.uids, grads_u, loc.counts, loc.valid
+                state, loc.uids, grads_u, loc.counts, loc.valid,
+                sorted_unique=True,
             )
         return state, metrics
 
@@ -337,7 +370,8 @@ class LocalStore:
                 block_rows=self.block_rows, interpret=self.interpret,
             )
         else:
-            rows_u = self.updater.pull(state, loc.uids, loc.valid)
+            rows_u = self.updater.pull(state, loc.uids, loc.valid,
+                                       sorted_unique=True)
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
             fields=fields, num_fields=self.num_fields,
@@ -359,7 +393,8 @@ class LocalStore:
             )
         else:
             state = self.updater.update(
-                state, loc.uids, grads_u, loc.counts, loc.valid
+                state, loc.uids, grads_u, loc.counts, loc.valid,
+                sorted_unique=True,
             )
         return state, metrics
 
@@ -372,12 +407,14 @@ class LocalStore:
 
     def _prepped_step_sorted(self, state, vals, labels, mask, uids, ucounts,
                              inv, valid, x_s, bidx, inv_s,
-                             s_tiles, s_wins, s_first):
+                             s_tiles, s_wins, s_first, fields=None,
+                             slot_s=None):
         """Host-prepped train step with the scatter-free sorted backward
         (ops/segsum.py) feeding the XLA (or whole-table-sweep) table
         update — the same aggregation the pairs path rides, which is
         table-size independent and replaces the step's largest XLA term
-        (the [B*L] -> [U] scatter-add; BENCH.md r4). fm/logit only."""
+        (the [B*L] -> [U] scatter-add; BENCH.md r4). ffm rides it too,
+        with the direct per-slot payload gather (``slot_s``)."""
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         if self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
@@ -387,10 +424,13 @@ class LocalStore:
                 block_rows=self.block_rows, interpret=self.interpret,
             )
         else:
-            rows_u = self.updater.pull(state, uids, valid)
+            rows_u = self.updater.pull(state, uids, valid,
+                                       sorted_unique=True)
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
+            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            slot_s=slot_s,
             interpret=self._segsum_interpret,
         )
         # zero the never-visited (sentinel) lanes: their segment-sum
@@ -405,7 +445,8 @@ class LocalStore:
                 block_rows=self.block_rows, interpret=self.interpret,
             )
         else:
-            state = self.updater.update(state, uids, grads_u, ucounts, valid)
+            state = self.updater.update(state, uids, grads_u, ucounts, valid,
+                                        sorted_unique=True)
         return state, metrics
 
     def _batch_fields(self, pb):
@@ -419,11 +460,13 @@ class LocalStore:
         """Host sorted-slot arrays (built in the prep workers when the
         learner attached them; rebuilt here otherwise)."""
         ss = getattr(pb, "sorted_slots", None)
-        if ss is None:
+        want_slots = self.loss == "ffm"
+        if ss is None or (want_slots and ss.slot_sorted is None):
             from ..data.prep import build_sorted_slots
 
             ss = build_sorted_slots(
-                np.asarray(pb.inv), np.asarray(pb.vals), pb.uids.shape[0]
+                np.asarray(pb.inv), np.asarray(pb.vals), pb.uids.shape[0],
+                with_slots=want_slots,
             )
             pb.sorted_slots = ss  # cached/replayed batches reuse it
         return ss
@@ -438,6 +481,7 @@ class LocalStore:
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
                 ss.x_sorted, ss.bidx, ss.inv_sorted,
                 ss.seg_tiles, ss.seg_wins, ss.seg_first,
+                fields=fields, slot_s=ss.slot_sorted,
             )
         if self.pairs:
             m = self._pair_meta(pb)
@@ -453,6 +497,7 @@ class LocalStore:
                 pb.inv, pb.valid,
                 ss.x_sorted, ss.bidx, ss.inv_sorted,
                 ss.seg_tiles, ss.seg_wins, ss.seg_first,
+                fields=fields, slot_s=ss.slot_sorted,
             )
         return self._jit_prepped_step(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
@@ -539,12 +584,13 @@ class LocalStore:
     def _pairs_step_sorted(
         self, state, vals, labels, mask, uids, ucounts, inv, valid,
         blocks, wins, first, wfirst, x_s, bidx, inv_s,
-        s_tiles, s_wins, s_first,
+        s_tiles, s_wins, s_first, fields=None, slot_s=None,
     ):
         """kernel=pairs train step with scatter-free grad aggregation:
         pull pairs -> [B, L] forward -> SORTED-slot backward ->
         ops/segsum.py tile-matmul per-key sums (planar, already the
-        apply payload layout) -> apply pairs. fm/logit only."""
+        apply payload layout) -> apply pairs. ffm rides it too, with the
+        direct per-slot payload gather (``slot_s``)."""
         from ..ops.pair_sweep import apply_pairs, pull_pairs
 
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
@@ -556,6 +602,8 @@ class LocalStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
+            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            slot_s=slot_s,
             interpret=self.interpret,
         )
         vf = valid.astype(jnp.float32)
@@ -645,7 +693,7 @@ class ShardedStore:
         # real TPU (same rationale as LocalStore.sorted_grads).
         on_tpu = jax.default_backend() == "tpu"
         self._segsum_interpret = interpret or not on_tpu
-        self.sorted_grads = self.loss != "ffm" and (
+        self.sorted_grads = (
             cfg.shard.segsum == "sorted"
             or (
                 cfg.shard.segsum == "auto"
@@ -669,6 +717,8 @@ class ShardedStore:
         )
         if self.layout == "packed":
             state_spec = PackedFMState(tbl=P("shard", None))
+        elif self.layout == "stacked":
+            state_spec = StackedFMState(tbl=P(None, "shard"))
         else:
             state_spec = self._fmstate_spec
         batch_specs = (P("shard", None), P("shard", None), P("shard"), P("shard"))
@@ -735,16 +785,19 @@ class ShardedStore:
             out_specs=(metrics_spec, P("shard")),
         )
         self._jit_prepped_eval = jax.jit(peval)
+        # ffm's sorted backward needs one extra stacked array: the sort
+        # permutation (slot_sorted) for the direct per-slot payload gather
+        self._n_sorted_args = 7 if self.loss == "ffm" else 6
         if self.sorted_grads and not self.pairs:
             # kernel=xla big-table path with the scatter-free sorted
-            # backward: same prepped args + the six stacked sorted-slot
-            # arrays (fm/logit only, so never a fields spec)
+            # backward: same prepped args (incl. fields when the config
+            # declares them) + the stacked sorted-slot arrays
             strain = jax.shard_map(
                 self._prepped_step_sorted,
                 mesh=self.mesh,
                 check_vma=False,
                 in_specs=(state_spec,) + prepped_specs
-                + (P("shard", None),) * 6,
+                + (P("shard", None),) * self._n_sorted_args,
                 out_specs=(state_spec, metrics_spec),
             )
             self._jit_prepped_step_sorted = jax.jit(strain, donate_argnums=0)
@@ -846,7 +899,11 @@ class ShardedStore:
                     nV=jnp.pad(s.nV, ((0, 0), (0, pad))),
                     cnt=jnp.pad(s.cnt, (0, pad)),
                 )
-            return pack_state(s) if self.layout == "packed" else s
+            if self.layout == "packed":
+                return pack_state(s)
+            if self.layout == "stacked":
+                return stack_state(s)
+            return s
 
         return _init()
 
@@ -931,7 +988,8 @@ class ShardedStore:
                 else self._prepped_pairs_step
             )
             step_specs = pair_specs + (
-                (P("shard", None),) * 6 if self.sorted_grads else ()
+                (P("shard", None),) * self._n_sorted_args
+                if self.sorted_grads else ()
             )
             step = jax.shard_map(
                 functools.partial(step_fn, capacity=C),
@@ -995,18 +1053,19 @@ class ShardedStore:
         the prep workers when the learner attached them (purely local:
         no collective even multi-process), rebuilt here otherwise."""
         ss = getattr(pb, "sorted_slots", None)
-        if ss is None:
+        want_slots = self.loss == "ffm"
+        if ss is None or (want_slots and ss.slot_sorted is None):
             from ..data.prep import build_sorted_slots_sharded
 
-            ss = build_sorted_slots_sharded(pb)
+            ss = build_sorted_slots_sharded(pb, with_slots=want_slots)
             pb.sorted_slots = ss
+        arrays = (ss.x_sorted, ss.bidx, ss.inv_sorted,
+                  ss.seg_tiles, ss.seg_wins, ss.seg_first)
+        if want_slots:
+            arrays += (ss.slot_sorted,)
         return self._cached_place(
             pb, "sorted",
-            lambda: self._place(
-                (ss.x_sorted, ss.bidx, ss.inv_sorted,
-                 ss.seg_tiles, ss.seg_wins, ss.seg_first),
-                (P("shard", None),) * 6,
-            ),
+            lambda: self._place(arrays, (P("shard", None),) * len(arrays)),
         )
 
     def train_step_prepped(self, state, pb):
@@ -1060,6 +1119,8 @@ class ShardedStore:
         lidx = recv_ids - my_lo
         rvalid = recv_ids >= 0
         rows_local = self.updater.pull(state, lidx, rvalid)  # [S*C, D]
+        # (no sorted_unique promise: the receive stream is only
+        # segment-sorted per source and keys repeat across sources)
         rows_back = jax.lax.all_to_all(
             rows_local.reshape(S, C * D), "shard", split_axis=0, concat_axis=0,
             tiled=True,
@@ -1107,7 +1168,8 @@ class ShardedStore:
                 block_rows=self.block_rows, interpret=self.interpret,
             )
         return self.updater.update(
-            state, ouids.astype(jnp.int32), agg[:, :D], agg[:, D], ovalid
+            state, ouids.astype(jnp.int32), agg[:, :D], agg[:, D], ovalid,
+            sorted_unique=True,  # jnp.unique: sorted, unique, OOB sentinel
         )
 
     def _psum_metrics(self, metrics: StepMetrics, dropped) -> StepMetrics:
@@ -1159,17 +1221,26 @@ class ShardedStore:
         return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
 
     def _prepped_step_sorted(self, state, vals, labels, mask, uids, ucounts,
-                             inv, valid, dropped_prep,
-                             x_s, bidx, inv_s, st_, sw_, sf_):
+                             inv, valid, dropped_prep, *rest):
         """kernel=xla prepped step with scatter-free worker grads: the
         per-key aggregation runs in the source device's sorted-slot
         space (ops/segsum.py) BEFORE routing — pull/all_to_all/push are
-        untouched (_push's ok-mask zeroes the junk sentinel lanes)."""
+        untouched (_push's ok-mask zeroes the junk sentinel lanes).
+        ``rest`` = optional fields [B, L] (when the config declares
+        explicit libffm fields) + the six stacked sorted-slot arrays +
+        slot_sorted for ffm (see _n_sorted_args)."""
+        fields = None
+        if self.expects_fields:
+            fields, *rest = rest
+        x_s, bidx, inv_s, st_, sw_, sf_, *ms = rest
+        slot_s = ms[0][0] if ms else None
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, ctx, dropped = self._pull(state, loc)
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
+            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            slot_s=slot_s,
             interpret=self._segsum_interpret,
         )
         state = self._push(state, loc, grads_p.T, ctx)
@@ -1327,12 +1398,18 @@ class ShardedStore:
     def _prepped_pairs_step_sorted(self, state, vals, labels, mask, uids,
                                    ucounts, inv, valid, dropped_prep,
                                    pb_, pw_, pwf_, ab_, aw_, af_,
-                                   x_s, bidx, inv_s, st_, sw_, sf_,
-                                   *, capacity):
+                                   *rest, capacity):
         """kernel=pairs prepped step with scatter-free worker grads: the
         per-key aggregation runs in the source device's sorted-slot space
         (ops/segsum.py) BEFORE routing — locality identical to the
-        scatter path, so pull/all_to_all/apply are untouched."""
+        scatter path, so pull/all_to_all/apply are untouched. ``rest`` =
+        optional fields [B, L] + six stacked sorted-slot arrays +
+        slot_sorted for ffm (see _n_sorted_args)."""
+        fields = None
+        if self.expects_fields:
+            fields, *rest = rest
+        x_s, bidx, inv_s, st_, sw_, sf_, *ms = rest
+        slot_s = ms[0][0] if ms else None
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_u, ctx, dropped = self._pull_pairs(
             state, loc, (pb_[0], pw_[0], pwf_[0]), capacity
@@ -1340,6 +1417,8 @@ class ShardedStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
+            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            slot_s=slot_s,
             interpret=self.interpret,
         )
         state = self._push_pairs(
@@ -1428,11 +1507,12 @@ class ShardedStore:
             lambda s: NamedSharding(self.mesh, s), self._fmstate_spec
         )
         placed = jax.device_put(host_state, shardings)
-        if self.layout == "packed":
-            packed_sh = jax.tree.map(
+        if self.layout in ("packed", "stacked"):
+            out_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), self._state_spec
             )
-            return jax.jit(pack_state, out_shardings=packed_sh)(placed)
+            fn = pack_state if self.layout == "packed" else stack_state
+            return jax.jit(fn, out_shardings=out_sh)(placed)
         return placed
 
     def stats(self, state):

@@ -93,11 +93,69 @@ class PackedFMState:
         return (self.tbl.shape[1] - 4) // 2
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class StackedFMState:
+    """Sublane-stacked state: ONE table [4+2K, N], rows w|z|n|cnt|V|nV.
+
+    The big-table layout (measured at 2^26/K=16, scripts/hw_scatter_*):
+    XLA TPU scatters cost per-INDEX (a serial loop: ~23 ns/index + ~6 ns
+    per extra strided lane — table-size independent, NOT bandwidth), so
+    six planar scatters pay 6 index loops (~42 ms at U=131k) while ONE
+    [4+2K, N] scatter pays one (~20 ms); the update gather likewise
+    drops to one. Physical cost: the sublane dim pads to a multiple of
+    8 (36 -> 40 at K=16, +11% HBM) — nothing like PackedFMState's
+    128-lane row pad (which is why packed stops at ~2^24). Row-window
+    "super-row" layouts measured WORSE (43 ms: per-index cost scales
+    with window lanes; hw_rowwin_probe.py) and 2-D window gathers are
+    pathological (256 ms). Requires kernel=xla (the Pallas table
+    kernels address planar [K, N] blocks).
+    """
+
+    tbl: jnp.ndarray   # f32 [4+2K, N]
+
+    @property
+    def num_rows(self) -> int:
+        return self.tbl.shape[1]
+
+    @property
+    def k(self) -> int:
+        return (self.tbl.shape[0] - 4) // 2
+
+
+# gather/scatter index metadata (see scripts/hw_scatter_scaling.py: the
+# flags shave ~10% and mode=fill/drop removes the sentinel clamp): prep
+# and device localize both produce SORTED-UNIQUE uids whose pad lanes
+# carry the out-of-range sentinel num_rows, so fill-0 gathers and drop
+# scatters are exact. Callers that can't promise this (the sharded
+# store's unsorted receive stream) pass sorted_unique=False.
+_GKW = dict(indices_are_sorted=True, unique_indices=True,
+            mode="fill", fill_value=0)
+_SKW = dict(indices_are_sorted=True, unique_indices=True, mode="drop")
+
+
 def pack_state(state: FMState) -> PackedFMState:
     """FMState (planar) -> PackedFMState. jit-traceable."""
     cols = [state.w[:, None], state.z[:, None], state.n[:, None],
             state.cnt[:, None], state.V.T, state.nV.T]
     return PackedFMState(tbl=jnp.concatenate(cols, axis=1))
+
+
+def stack_state(state: FMState) -> StackedFMState:
+    """FMState (planar) -> StackedFMState. jit-traceable."""
+    rows = [state.w[None], state.z[None], state.n[None],
+            state.cnt[None], state.V, state.nV]
+    return StackedFMState(tbl=jnp.concatenate(rows, axis=0))
+
+
+def unstack_state(stacked: StackedFMState) -> FMState:
+    """StackedFMState -> FMState (planar). jit-traceable."""
+    t = stacked.tbl
+    k = stacked.k
+    return FMState(
+        w=t[0], z=t[1], n=t[2], cnt=t[3],
+        V=t[4 : 4 + k], nV=t[4 + k :],
+    )
 
 
 def unpack_state(packed: PackedFMState) -> FMState:
@@ -141,19 +199,79 @@ class FMUpdater:
     def init_state_packed(self, num_rows: int, seed: int = 0) -> PackedFMState:
         return pack_state(self.init_state(num_rows, seed))
 
+    def init_state_stacked(self, num_rows: int, seed: int = 0) -> StackedFMState:
+        """Bit-identical to ``stack_state(init_state(...))`` but built
+        low-peak: materializing the planar state and concatenating holds
+        ~2.1x the table transiently (OOMs a 2^26 table on one 16 GB
+        chip); here the [D, N] table is allocated once and V is written
+        in with a donated in-place dynamic-update-slice."""
+        p = self.param
+        k = p.V_dim
+        tbl = jax.jit(
+            lambda: jnp.zeros((4 + 2 * k, num_rows), jnp.float32)
+        )()
+        if k > 0:
+            def setv(t):
+                key = jax.random.PRNGKey(seed)
+                V = (
+                    jax.random.uniform(key, (k, num_rows), jnp.float32,
+                                       -1.0, 1.0)
+                    * p.V_init_scale
+                )
+                return jax.lax.dynamic_update_slice(t, V, (4, 0))
+
+            tbl = jax.jit(setv, donate_argnums=0)(tbl)
+        return StackedFMState(tbl=tbl)
+
     # -- Get (reference: SGDUpdater::Get) -----------------------------------
 
-    def pull(self, state, uids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    def pull(
+        self, state, uids: jnp.ndarray, valid: jnp.ndarray,
+        sorted_unique: bool = False,
+    ) -> jnp.ndarray:
         """Materialize rows [U, 1+K]: w then V. V is zero until activated
         (cnt >= V_threshold), matching the reference's absent-entry
-        semantics; invalid (padded) lanes are fully zero."""
+        semantics; invalid (padded) lanes are fully zero.
+
+        ``sorted_unique``: promise that uids are sorted, unique, with
+        out-of-range sentinels on pad lanes — gathers then carry
+        indices_are_sorted/unique_indices and fill 0 instead of clamping
+        (measured ~10% faster at 2^26; scripts/hw_layout26.py)."""
+        if isinstance(state, StackedFMState):
+            return self._pull_stacked(state, uids, valid, sorted_unique)
         if isinstance(state, PackedFMState):
             return self._pull_packed(state, uids, valid)
+        if sorted_unique:
+            v = valid.astype(jnp.float32)
+            w = state.w.at[uids].get(**_GKW) * v
+            active = valid
+            if self.param.V_dim > 0:
+                active = active & (
+                    state.cnt.at[uids].get(**_GKW) >= self.param.V_threshold
+                )
+            V = state.V.at[:, uids].get(**_GKW).T
+            V = V * active[:, None].astype(jnp.float32)
+            return jnp.concatenate([w[:, None], V], axis=1)
         idx = jnp.where(valid, uids, 0)
         v = valid.astype(jnp.float32)
         w = state.w[idx] * v
         active = self._active(state, idx, valid)
         V = state.V[:, idx].T * active[:, None].astype(jnp.float32)
+        return jnp.concatenate([w[:, None], V], axis=1)
+
+    def _pull_stacked(self, state: StackedFMState, uids, valid,
+                      sorted_unique: bool) -> jnp.ndarray:
+        p = self.param
+        k = p.V_dim
+        if sorted_unique:
+            rows = state.tbl.at[:, uids].get(**_GKW)     # ONE gather [D, U]
+        else:
+            rows = state.tbl[:, jnp.where(valid, uids, 0)]
+        w = rows[0] * valid.astype(jnp.float32)
+        if k == 0:
+            return w[:, None]
+        active = valid & (rows[3] >= p.V_threshold)
+        V = rows[4 : 4 + k].T * active[:, None].astype(jnp.float32)
         return jnp.concatenate([w[:, None], V], axis=1)
 
     def _pull_packed(self, state: PackedFMState, uids, valid) -> jnp.ndarray:
@@ -191,18 +309,37 @@ class FMUpdater:
         grads: jnp.ndarray,    # f32 [U, 1+K] per-key aggregated gradients
         add_cnt: jnp.ndarray,  # f32 [U] batch occurrence counts
         valid: jnp.ndarray,    # bool [U]
+        sorted_unique: bool = False,
     ):
+        if isinstance(state, StackedFMState):
+            return self._update_stacked(state, uids, grads, add_cnt, valid,
+                                        sorted_unique)
         if isinstance(state, PackedFMState):
-            return self._update_packed(state, uids, grads, add_cnt, valid)
+            return self._update_packed(state, uids, grads, add_cnt, valid,
+                                       sorted_unique)
         p = self.param
-        uids = jnp.where(valid, uids, 0)  # clamp sentinel lanes; deltas masked
+        if sorted_unique:
+            g1 = lambda a: a.at[uids].get(**_GKW)
+            s1 = lambda a, d: a.at[uids].add(d, **_SKW)
+            gl = lambda a: a.at[:, uids].get(**_GKW)
+            sl = lambda a, d: a.at[:, uids].add(d, **_SKW)
+        else:
+            uids = jnp.where(valid, uids, 0)  # clamp sentinels; deltas masked
+            g1 = lambda a: a[uids]
+            s1 = lambda a, d: a.at[uids].add(d)
+            gl = lambda a: a[:, uids]
+            sl = lambda a, d: a.at[:, uids].add(d)
         g = grads[:, 0]
-        w_u = state.w[uids]
-        n_u = state.n[uids]
-        upd_w = self._trainable_w(state, uids, valid)
+        w_u = g1(state.w)
+        n_u = g1(state.n)
+        cnt_pre = g1(state.cnt)
+        upd_w = valid
+        if p.tail_feature_filter > 0:
+            upd_w = upd_w & (cnt_pre >= p.tail_feature_filter)
 
+        skip_z = skip_n = False
         if p.w_updater == "ftrl":
-            z_u = state.z[uids]
+            z_u = g1(state.z)
             n_new = n_u + g * g
             sigma = (jnp.sqrt(n_new) - jnp.sqrt(n_u)) / p.lr_eta
             z_new = z_u + g - sigma * w_u
@@ -214,60 +351,133 @@ class FMUpdater:
             )
         elif p.w_updater == "adagrad":
             g_r = g + p.l2 * w_u
-            z_new = state.z[uids]
+            z_u = z_new = None
+            skip_z = True  # z untouched: skip its ~per-index scatter loop
             n_new = n_u + g_r * g_r
             w_new = w_u - p.lr_eta * g_r / (jnp.sqrt(n_new) + p.lr_beta)
         else:  # sgd
-            z_new = state.z[uids]
+            z_u = z_new = None
+            skip_z = skip_n = True  # n untouched too
             n_new = n_u
             w_new = w_u - p.lr_eta * (g + p.l2 * w_u)
 
         m = upd_w.astype(jnp.float32)
         state = FMState(
-            w=state.w.at[uids].add(m * (w_new - w_u)),
-            z=state.z.at[uids].add(m * (z_new - state.z[uids])),
-            n=state.n.at[uids].add(m * (n_new - n_u)),
+            w=s1(state.w, m * (w_new - w_u)),
+            z=state.z if skip_z else s1(state.z, m * (z_new - z_u)),
+            n=state.n if skip_n else s1(state.n, m * (n_new - n_u)),
             V=state.V,
             nV=state.nV,
-            cnt=state.cnt.at[uids].add(valid.astype(jnp.float32) * add_cnt),
+            cnt=s1(state.cnt, valid.astype(jnp.float32) * add_cnt),
         )
 
         if p.V_dim > 0:
             # activation gate uses the PRE-update count (a row crossing the
             # threshold this batch gets its first V update next batch, like
             # the reference, whose first post-allocation pull sees init V).
-            cnt_pre = state.cnt[uids] - valid.astype(jnp.float32) * add_cnt
             active = valid & (cnt_pre >= p.V_threshold)
             if p.tail_feature_filter > 0:
                 active = active & (cnt_pre >= p.tail_feature_filter)
             gV = grads[:, 1:].T            # planar [K, U]
-            V_u = state.V[:, uids]
-            nV_u = state.nV[:, uids]
+            V_u = gl(state.V)
+            mV = active[None, :].astype(jnp.float32)
             if p.V_updater == "adagrad":
+                nV_u = gl(state.nV)
                 gV_r = gV + p.V_l2 * V_u
                 nV_new = nV_u + gV_r * gV_r
                 V_new = V_u - p.V_lr_eta * gV_r / (jnp.sqrt(nV_new) + p.V_lr_beta)
-            else:  # sgd
-                nV_new = nV_u
+                nV_out = sl(state.nV, mV * (nV_new - nV_u))
+            else:  # sgd: nV untouched — skip its scatter
                 V_new = V_u - p.V_lr_eta * (gV + p.V_l2 * V_u)
-            mV = active[None, :].astype(jnp.float32)
+                nV_out = state.nV
             state = FMState(
                 w=state.w,
                 z=state.z,
                 n=state.n,
-                V=state.V.at[:, uids].add(mV * (V_new - V_u)),
-                nV=state.nV.at[:, uids].add(mV * (nV_new - nV_u)),
+                V=sl(state.V, mV * (V_new - V_u)),
+                nV=nV_out,
                 cnt=state.cnt,
             )
         return state
 
-    def _update_packed(self, state, uids, grads, add_cnt, valid):
+    def _update_stacked(self, state, uids, grads, add_cnt, valid,
+                        sorted_unique: bool):
+        """Same math/masking as the planar update, as ONE [D, U] gather +
+        ONE [D, U] scatter-add of masked deltas (see StackedFMState —
+        scatter cost is per-index, so one index loop instead of six)."""
+        p = self.param
+        k = p.V_dim
+        if sorted_unique:
+            rows = state.tbl.at[:, uids].get(**_GKW)
+            skw = _SKW
+        else:
+            uids = jnp.where(valid, uids, 0)
+            rows = state.tbl[:, uids]
+            skw = {}
+        w, z, n, cnt = rows[0], rows[1], rows[2], rows[3]
+        g = grads[:, 0]
+        upd_w = valid
+        if p.tail_feature_filter > 0:
+            upd_w = upd_w & (cnt >= p.tail_feature_filter)
+
+        if p.w_updater == "ftrl":
+            n_new = n + g * g
+            sigma = (jnp.sqrt(n_new) - jnp.sqrt(n)) / p.lr_eta
+            z_new = z + g - sigma * w
+            w_new = jnp.where(
+                jnp.abs(z_new) <= p.l1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * p.l1)
+                / ((p.lr_beta + jnp.sqrt(n_new)) / p.lr_eta + p.l2),
+            )
+        elif p.w_updater == "adagrad":
+            g_r = g + p.l2 * w
+            z_new = z
+            n_new = n + g_r * g_r
+            w_new = w - p.lr_eta * g_r / (jnp.sqrt(n_new) + p.lr_beta)
+        else:  # sgd
+            z_new = z
+            n_new = n
+            w_new = w - p.lr_eta * (g + p.l2 * w)
+
+        m = upd_w.astype(jnp.float32)
+        parts = [
+            (m * (w_new - w))[None],
+            (m * (z_new - z))[None],
+            (m * (n_new - n))[None],
+            (valid.astype(jnp.float32) * add_cnt)[None],
+        ]
+        if k > 0:
+            # activation gates on the PRE-update count, like the planar path
+            V = rows[4 : 4 + k]
+            nV = rows[4 + k :]
+            active = valid & (cnt >= p.V_threshold)
+            if p.tail_feature_filter > 0:
+                active = active & (cnt >= p.tail_feature_filter)
+            gV = grads[:, 1:].T
+            if p.V_updater == "adagrad":
+                gV_r = gV + p.V_l2 * V
+                nV_new = nV + gV_r * gV_r
+                V_new = V - p.V_lr_eta * gV_r / (jnp.sqrt(nV_new) + p.V_lr_beta)
+            else:  # sgd
+                nV_new = nV
+                V_new = V - p.V_lr_eta * (gV + p.V_l2 * V)
+            mV = active[None, :].astype(jnp.float32)
+            parts += [mV * (V_new - V), mV * (nV_new - nV)]
+        delta = jnp.concatenate(parts, axis=0)
+        return StackedFMState(tbl=state.tbl.at[:, uids].add(delta, **skw))
+
+    def _update_packed(self, state, uids, grads, add_cnt, valid,
+                       sorted_unique: bool = False):
         """Same math/masking as the planar update, as ONE row gather +
         ONE row scatter-add of masked deltas (see PackedFMState)."""
         p = self.param
         k = p.V_dim
-        uids = jnp.where(valid, uids, 0)
-        rows = state.tbl[uids]  # [U, 4+2K]
+        if sorted_unique:
+            rows = state.tbl.at[uids].get(**_GKW)  # [U, 4+2K]
+        else:
+            uids = jnp.where(valid, uids, 0)
+            rows = state.tbl[uids]  # [U, 4+2K]
         w, z, n, cnt = rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
         g = grads[:, 0]
         upd_w = valid
@@ -319,6 +529,8 @@ class FMUpdater:
             mV = active[:, None].astype(jnp.float32)
             parts += [mV * (V_new - V), mV * (nV_new - nV)]
         delta = jnp.concatenate(parts, axis=1)
+        if sorted_unique:
+            return PackedFMState(tbl=state.tbl.at[uids].add(delta, **_SKW))
         return PackedFMState(tbl=state.tbl.at[uids].add(delta))
 
     # -- feature counts (reference: the kFeaCount push) ----------------------
@@ -326,6 +538,10 @@ class FMUpdater:
     def add_counts(self, state, idx: jnp.ndarray, amounts: jnp.ndarray):
         """state.cnt[idx] += amounts, either layout. idx must be in-range
         (clamped); amounts 0 for masked lanes."""
+        if isinstance(state, StackedFMState):
+            return StackedFMState(
+                tbl=state.tbl.at[3, idx].add(amounts)
+            )
         if isinstance(state, PackedFMState):
             d = state.tbl.shape[1]
             delta = jnp.zeros((idx.shape[0], d), jnp.float32)
@@ -338,7 +554,9 @@ class FMUpdater:
     def stats(self, state) -> dict[str, jnp.ndarray]:
         """nnz(w) / active-V counts (the capacity observables the reference
         prints in Progress rows)."""
-        if isinstance(state, PackedFMState):
+        if isinstance(state, StackedFMState):
+            w, cnt = state.tbl[0], state.tbl[3]
+        elif isinstance(state, PackedFMState):
             w, cnt = state.tbl[:, 0], state.tbl[:, 3]
         else:
             w, cnt = state.w, state.cnt

@@ -31,7 +31,9 @@ import jax
 import numpy as np
 
 from ..data.io import is_remote, open_uri
-from ..updaters.updater import FMState, PackedFMState, unpack_state
+from ..updaters.updater import (
+    FMState, PackedFMState, StackedFMState, unpack_state, unstack_state,
+)
 
 FORMAT_VERSION = 1
 _LEAVES = ("w", "z", "n", "V", "nV", "cnt")
@@ -124,6 +126,8 @@ def save(path_prefix: str, state, meta: dict | None = None) -> str:
         # model trained packed loads into any store/layout (and the
         # inspection tools keep working)
         state = jax.jit(unpack_state)(state)
+    elif isinstance(state, StackedFMState):
+        state = jax.jit(unstack_state)(state)
     if not is_remote(path_prefix):
         os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}

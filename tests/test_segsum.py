@@ -202,7 +202,8 @@ def test_sharded_pairs_sorted_matches_scatter_training():
 
 
 @pytest.mark.parametrize(
-    "K,layout", [(4, "packed"), (4, "planar"), (0, "packed")]
+    "K,layout", [(4, "packed"), (4, "planar"), (0, "packed"),
+                 (4, "stacked"), (0, "stacked")]
 )
 def test_local_xla_sorted_matches_scatter_training(K, layout):
     """kernel=xla + segsum=sorted (the big-table path's aggregation —
@@ -282,6 +283,131 @@ def test_sharded_xla_sorted_matches_scatter_training():
         states[seg] = fm_leaves(st)
         metrics[seg] = float(m.logloss_sum)
     assert metrics["scatter"] == pytest.approx(metrics["sorted"], rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def _ffm_batch(seed, B=48, L=6, N=4096, pad_frac=0.2, with_fields=False, F=3):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, N, (B, L)).astype(np.int32)
+    ids[rng.random((B, L)) < pad_frac] = -1
+    vals = np.where(ids < 0, 0.0, rng.normal(size=(B, L))).astype(np.float32)
+    fields = rng.integers(0, F, (B, L)).astype(np.int32) if with_fields else None
+    return Batch(
+        ids, vals, (rng.random(B) > 0.5).astype(np.float32),
+        np.ones(B, np.float32), fields=fields,
+    )
+
+
+@pytest.mark.parametrize("explicit_fields", [False, True])
+def test_worker_grads_sorted_ffm_matches_scatter(explicit_fields):
+    """FFM on the sorted segment-sum backward (direct per-slot payload
+    gather via slot_sorted) ≡ the scatter backward, both field modes."""
+    N, L, k = 4096, 6, 2
+    F = 3 if explicit_fields else L
+    K = F * k
+    b = _ffm_batch(11, L=L, N=N, with_fields=explicit_fields, F=F)
+    pb = prep_batch(b, N)
+    ss = build_sorted_slots(pb.inv, pb.vals, pb.uids.shape[0],
+                            with_slots=True)
+    rng = np.random.default_rng(0)
+    U = pb.uids.shape[0]
+    rows_u = jnp.asarray(
+        (rng.normal(size=(U, 1 + K)) * 0.1).astype(np.float32)
+    )
+    loc = Localized(
+        uids=jnp.asarray(pb.uids), inv=jnp.asarray(pb.inv),
+        counts=jnp.asarray(pb.ucounts), valid=jnp.asarray(pb.valid),
+    )
+    args = (jnp.asarray(pb.vals), jnp.asarray(pb.labels),
+            jnp.asarray(pb.mask))
+    fkw = dict(
+        loss="ffm",
+        fields=jnp.asarray(b.fields) if explicit_fields else None,
+        num_fields=F if explicit_fields else 0,
+    )
+    g_ref, py_ref, m_ref = worker_grads(rows_u, loc, *args, **fkw)
+    g_s, py_s, m_s = worker_grads_sorted(
+        rows_u, loc, *args,
+        (jnp.asarray(ss.x_sorted), jnp.asarray(ss.bidx),
+         jnp.asarray(ss.inv_sorted), jnp.asarray(ss.seg_tiles),
+         jnp.asarray(ss.seg_wins), jnp.asarray(ss.seg_first)),
+        slot_s=jnp.asarray(ss.slot_sorted),
+        interpret=True, **fkw,
+    )
+    np.testing.assert_allclose(np.asarray(py_s), np.asarray(py_ref),
+                               atol=1e-5)
+    vmask = np.asarray(pb.valid)
+    np.testing.assert_allclose(
+        np.asarray(g_s.T)[vmask], np.asarray(g_ref)[vmask],
+        atol=2e-5, rtol=1e-5,
+    )
+    assert float(m_s.logloss_sum) == pytest.approx(
+        float(m_ref.logloss_sum), rel=1e-6
+    )
+
+
+@pytest.mark.parametrize("kernel", ["pairs", "xla"])
+def test_local_ffm_sorted_matches_scatter_training(kernel):
+    """Slot-position FFM (F = L) through LocalStore rides the sorted
+    segsum backward on BOTH kernel paths, bit-close to scatter."""
+    N_BITS = 12
+    N = 1 << N_BITS
+    L = 6
+    states = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "48"), ("num_bits", str(N_BITS)),
+            ("max_nnz_per_row", str(L)), ("V_dim", "2"), ("loss", "ffm"),
+            ("kernel", kernel),
+            ("interpret", "1" if kernel == "pairs" else "0"),
+            ("segsum", seg),
+        ])
+        upd = FMUpdater(cfg.effective_model_param())
+        store = LocalStore(upd, cfg, interpret=kernel == "pairs")
+        assert store.sorted_grads == (seg == "sorted")
+        st = store.init_state(0)
+        for s in range(4):
+            pb = prep_batch(_ffm_batch(s, L=L, N=N), N)
+            st, _ = store.train_step_prepped(st, pb)
+        states[seg] = fm_leaves(st)
+    for a, b in zip(
+        jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_ffm_fields_sorted_matches_scatter_training():
+    """Explicit-fields FFM (libffm) through ShardedStore kernel=xla +
+    segsum=sorted ≡ scatter — exercises the fields + slot_sorted arg
+    plumbing through the stacked shard_map specs."""
+    from difacto_tpu.data.prep import prep_batch_sharded
+    from difacto_tpu.parallel.store import ShardedStore
+
+    N_BITS = 12
+    N = 1 << N_BITS
+    L, F = 6, 3
+    states = {}
+    for seg in ("scatter", "sorted"):
+        cfg = Config.from_kwargs([
+            ("batch_size", "48"), ("num_bits", str(N_BITS)),
+            ("max_nnz_per_row", str(L)), ("V_dim", "2"), ("loss", "ffm"),
+            ("data_format", "libffm"), ("num_fields", str(F)),
+            ("kernel", "xla"), ("segsum", seg),
+        ])
+        upd = FMUpdater(cfg.effective_model_param())
+        store = ShardedStore(upd, cfg)
+        assert store.sorted_grads == (seg == "sorted")
+        st = store.init_state(0)
+        for s in range(3):
+            pb = prep_batch_sharded(
+                _ffm_batch(s, L=L, N=N, with_fields=True, F=F),
+                store.num_rows, store.S, num_fields=F,
+            )
+            st, m = store.train_step_prepped(st, pb)
+        states[seg] = fm_leaves(st)
     for a, b in zip(
         jax.tree.leaves(states["scatter"]), jax.tree.leaves(states["sorted"])
     ):

@@ -182,15 +182,19 @@ def test_prepped_fixed_bucket_overflow_counted():
     assert float(m.dropped_ids) >= float(pb.dropped.sum())
 
 
-@pytest.mark.parametrize("wupd", ["ftrl", "adagrad", "sgd"])
-def test_packed_layout_matches_planar(wupd):
-    """PackedFMState (one [N, 4+2K] row table) must train identically to
-    the planar layout across optimizer variants, tail filtering, and
+@pytest.mark.parametrize("wupd,layout", [
+    ("ftrl", "packed"), ("adagrad", "packed"), ("sgd", "packed"),
+    ("ftrl", "stacked"), ("adagrad", "stacked"), ("sgd", "stacked"),
+])
+def test_one_table_layout_matches_planar(wupd, layout):
+    """PackedFMState (one [N, 4+2K] row table) and StackedFMState (one
+    [4+2K, N] table — the big-table XLA layout) must train identically
+    to the planar layout across optimizer variants, tail filtering, and
     V activation gating — both stores."""
     from difacto_tpu.data.prep import prep_batch, prep_batch_sharded
 
     cfg_pk = _cfg(w_updater=wupd, tail_feature_filter=2, V_threshold=3,
-                  layout="packed")
+                  layout=layout)
     cfg_pl = _cfg(w_updater=wupd, tail_feature_filter=2, V_threshold=3,
                   layout="planar")
     upd = FMUpdater(cfg_pk.model)
@@ -200,7 +204,7 @@ def test_packed_layout_matches_planar(wupd):
     for cls, mk in ((LocalStore, prep_batch),
                     (ShardedStore, None)):
         a, b_ = cls(upd, cfg_pk), cls(upd, cfg_pl)
-        assert a.layout == "packed" and b_.layout == "planar"
+        assert a.layout == layout and b_.layout == "planar"
         s1, s2 = a.init_state(0), b_.init_state(0)
         # count pass activates the gates
         for b in batches:
