@@ -418,6 +418,14 @@ class SGDLearner:
                     )
         if acc is not None:
             self._fold(prog, acc)
+        if hasattr(self.store, "pin_capacity"):
+            # epoch boundary: pin the pairs all_to_all capacity to the
+            # exact W-aligned maximum this epoch needed — later batches
+            # land on ONE tight capacity instead of a ~1.5x ladder rung
+            # (store._cap_resolve; BENCH.md r4 queue #4). Deterministic
+            # across processes (fed by the lockstep per-step allgather),
+            # and called at the same point of every process's epoch.
+            self.store.pin_capacity()
         st = self.store.stats(self.state)
         prog.nnz_w = float(st["nnz_w"])
         prog.nnz_V = float(st["nnz_V"])

@@ -807,6 +807,15 @@ class ShardedStore:
         # from each batch's actual bucket fills (pairs_capacity)
         self._metrics_spec = metrics_spec
         self._pairs_jit_cache: dict[int, tuple] = {}
+        # per-epoch capacity pin: the coarse ~1.5x _cap_ladder rungs
+        # overshoot the owner streams ~35% on average (BENCH.md r4 queue
+        # #4 — dead lanes ride every all_to_all and owner sweep). The
+        # learner calls pin_capacity() at each epoch boundary; from then
+        # on batches whose exact W-aligned need fits the seen maximum all
+        # land on ONE tight capacity (one Mosaic specialization, no
+        # mid-epoch mints) instead of a ladder rung up to 1.5x too wide.
+        self._cap_seen = 0        # max exact W-aligned need seen so far
+        self._cap_pin: int | None = None
 
     def _capacity_for(self, unique_lanes: int) -> int:
         """Per-(src,dst) all_to_all slot capacity for a given per-device
@@ -843,9 +852,28 @@ class ShardedStore:
 
         fills = shard_bucket_fills(pb, self.num_rows)
         c = _round_up(max(int(fills.max()), 1), W)
+        return self._cap_resolve(c)
+
+    def _cap_resolve(self, c: int) -> int:
+        """Exact W-aligned need -> served capacity: the epoch pin when it
+        fits (tight, no new compiles), else the unique_size floor / the
+        coarse ladder (correctness first; a fresh specialization is
+        logged in _pairs_jits)."""
+        self._cap_seen = max(self._cap_seen, c)
+        if self._cap_pin is not None and c <= self._cap_pin:
+            return self._cap_pin
         if self.cfg.shard.unique_size:
             c = max(c, self.capacity)  # pinned floor, W-aligned for pairs
         return _cap_ladder(c)
+
+    def pin_capacity(self) -> int:
+        """Pin the all_to_all capacity to the maximum exact need seen so
+        far (epoch boundary; deterministic across processes because
+        _cap_seen is fed by the same global maxima everywhere — the
+        per-step allgather in _mp_pairs_capacity). Returns the pin."""
+        if self._cap_seen:
+            self._cap_pin = max(self._cap_pin or 0, self._cap_seen)
+        return self._cap_pin or 0
 
     def _mp_pairs_capacity(self, pb) -> int:
         """Multi-process batch-actual all_to_all capacity: each process
@@ -871,9 +899,7 @@ class ShardedStore:
             ).max()
         )
         c = _round_up(max(gmax, 1), W)
-        if self.cfg.shard.unique_size:
-            c = max(c, self.capacity)  # pinned floor, W-aligned for pairs
-        return _cap_ladder(c)
+        return self._cap_resolve(c)
 
     # -- placement ----------------------------------------------------------
 

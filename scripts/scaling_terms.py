@@ -56,12 +56,31 @@ def make_batch(seed: int) -> Batch:
 def main() -> int:
     print(f"weak scaling: per-process batch {B}x{L}, global table 2^"
           f"{NUM_BITS}; 1 local shard per process")
-    print(f"{'S':>3} {'C':>6} {'S*C':>7} {'fill%':>6} {'ag_KB':>7} "
-          f"{'build_ms':>8} {'old_ms':>8} {'pairs':>7}")
+    print(f"{'S':>3} {'C':>6} {'fill%':>6} {'Cpin':>6} {'pin%':>6} "
+          f"{'ag_KB':>7} {'build_ms':>8} {'old_ms':>8} {'pairs':>7}")
     for S in (2, 4, 8, 16, 32):
-        # each process preps its own local batch; synthesize all S
-        pbs = [prep_batch_sharded(make_batch(100 + p), N, 1) for p in range(S)]
-        fills = [shard_bucket_fills(pb, N, S) for pb in pbs]
+        # each process preps its own local batch; synthesize all S — and
+        # T later "steps" to measure the store.pin_capacity() occupancy
+        # (epoch-0 max pins the capacity; later batches ride it exactly)
+        T = 5
+        step_pbs = [
+            [prep_batch_sharded(make_batch(100 + t * 1000 + p), N, 1)
+             for p in range(S)]
+            for t in range(T)
+        ]
+        step_fills = [
+            [shard_bucket_fills(pb, N, S) for pb in pbs_t]
+            for pbs_t in step_pbs
+        ]
+        needs = [
+            _round_up(max(max(int(f.max()) for f in fs), 1), W)
+            for fs in step_fills
+        ]
+        C_pin = max(needs)                 # = store.pin_capacity()
+        pin_fill = float(np.mean([
+            np.mean([f.mean() for f in fs]) / C_pin for fs in step_fills
+        ]))
+        pbs, fills = step_pbs[0], step_fills[0]
         gmax = max(int(f.max()) for f in fills)
         C = _cap_ladder(_round_up(max(gmax, 1), W))
         mean_fill = float(np.mean([f.mean() for f in fills]))
@@ -89,7 +108,8 @@ def main() -> int:
         t0 = time.perf_counter()
         raws_all = _owner_raws(send, N, 1024, range(S))
         t_old = (time.perf_counter() - t0) * 1e3
-        print(f"{S:>3} {C:>6} {S*C:>7} {100*mean_fill/C:>5.1f}% "
+        print(f"{S:>3} {C:>6} {100*mean_fill/C:>5.1f}% {C_pin:>6} "
+              f"{100*pin_fill:>5.1f}% "
               f"{ag_bytes/1024:>6.1f}K {t_new:>8.2f} {t_old:>8.2f} "
               f"{metas.pull_blocks.shape[1]:>7}")
     return 0

@@ -272,3 +272,33 @@ def test_unique_size_pins_pairs_capacity():
     # without the pin, the same batches may produce several capacities
     free = _mk(2, "pairs", True)
     assert free.cfg.shard.unique_size == 0
+
+
+def test_pairs_capacity_epoch_pin():
+    """pin_capacity() (epoch boundary) pins subsequent batches to the
+    exact W-aligned maximum seen, replacing the coarse ~1.5x ladder rung
+    (BENCH.md r4 queue #4: rungs overshoot the owner streams ~35%); a
+    later batch that exceeds the pin still gets a ladder rung
+    (correctness first), and training through the pin stays correct."""
+    from difacto_tpu.ops.pair_sweep import W
+
+    store = _mk(2, "pairs", True)
+    batches = _batches()
+    pbs = [prep_batch_sharded(b, store.num_rows, store.S) for b in batches]
+    caps0 = [store.pairs_capacity(pb) for pb in pbs]
+    assert store._cap_pin is None
+    pin = store.pin_capacity()
+    assert pin == store._cap_seen and pin % W == 0
+    assert pin <= min(caps0)  # exact need never exceeds the ladder rung
+    # post-pin: same batches now ride the tight pin, not the rung
+    for pb in pbs:
+        assert store.pairs_capacity(pb) == pin
+    # training through the pinned capacity stays numerically correct
+    st = store.init_state(0)
+    for pb in pbs:
+        pb.pair_metas = None  # rebuild schedules at the pinned capacity
+        st, m = store.train_step_prepped(st, pb)
+    assert float(m.examples) == 256 and float(m.dropped_ids) == 0
+    # a batch needing more than the pin falls back to a ladder rung
+    big = store._cap_resolve(pin + 4 * W)
+    assert big > pin and big >= pin + 4 * W
