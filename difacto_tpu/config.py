@@ -180,16 +180,16 @@ class ShardParam(ParamBase):
                                    # (= pairs on single-process TPU with
                                    # host_localize, else xla)
     layout: str = "auto"           # packed | planar | stacked | auto:
+                                   # stacked = one [4+2K, N] table (ONE
+                                   # gather + ONE scatter per step, only
+                                   # an 8-sublane pad — fastest measured
+                                   # XLA layout at every table size);
                                    # packed = one [N, 4+2K] row table
-                                   # (fastest under XLA, 128-lane row pad
-                                   # caps it ~2^24); stacked = one
-                                   # [4+2K, N] table (ONE gather + ONE
-                                   # scatter per step with no row pad —
-                                   # the big-table XLA layout); planar =
-                                   # split w/z/n/cnt + [K, N] V (pallas
-                                   # table kernels). auto = packed up to
-                                   # 2^24, stacked above, planar for
-                                   # kernel=pallas/pairs
+                                   # (historical; 128-lane row pad caps
+                                   # it ~2^24); planar = split w/z/n/cnt
+                                   # + [K, N] V (pallas table kernels).
+                                   # auto = stacked for kernel=xla,
+                                   # planar for kernel=pallas/pairs
     block_rows: int = 1024         # table rows per sweep-kernel block
     segsum: str = "auto"           # per-key gradient aggregation on the
                                    # host-prepped fm/logit paths (pairs

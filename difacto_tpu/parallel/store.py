@@ -93,13 +93,13 @@ def _resolve_layout(cfg: Config, needs_planar: bool) -> str:
     scatter with only an 8-sublane pad — XLA TPU scatters cost
     per-INDEX, so one index loop replaces six: 2^26 update 42 -> 20 ms,
     scripts/hw_scatter_probe.py); planar = split arrays with V [K, N]
-    (the Pallas sweep/pair kernels' layout). auto: packed for the XLA
-    path while the row pad is comfortable, stacked above."""
+    (the Pallas sweep/pair kernels' layout). auto: stacked for the XLA
+    path at every size (measured vs packed: 494k vs 426k ex/s at 2^22,
+    505k vs 431k at 2^24, and packed OOMs past 2^24 — BENCH.md r5);
+    packed stays as an explicit opt-in."""
     lay = cfg.shard.layout
     if lay == "auto":
-        if needs_planar:
-            return "planar"
-        return "packed" if cfg.data.num_bits <= 24 else "stacked"
+        return "planar" if needs_planar else "stacked"
     if lay not in ("packed", "planar", "stacked"):
         raise ValueError(f"layout must be auto|packed|planar|stacked, "
                          f"got {lay!r}")
@@ -311,6 +311,7 @@ class LocalStore:
 
     def _pull_compute(self, state, ids, vals, labels, mask, fields=None):
         loc = localize(ids, self.num_rows, self.unique_size)
+        raw = None
         if self._use_sweep_pull(loc.uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
@@ -318,6 +319,10 @@ class LocalStore:
                 state, loc.uids, loc.valid, self.updater.param,
                 block_rows=self.block_rows, interpret=self.interpret,
             )
+        elif isinstance(state, StackedFMState):
+            raw = self.updater.pull_raw(state, loc.uids, loc.valid,
+                                        sorted_unique=True)
+            rows_u = self.updater.rows_view(raw, loc.valid)
         else:
             rows_u = self.updater.pull(state, loc.uids, loc.valid,
                                        sorted_unique=True)
@@ -328,10 +333,10 @@ class LocalStore:
         # distinct ids dropped by an undersized unique_size (counted, not
         # silent — see ops/localize.py)
         metrics = metrics._replace(dropped_ids=metrics.dropped_ids + loc.overflow)
-        return loc, grads_u, py, metrics
+        return loc, grads_u, py, metrics, raw
 
     def _step(self, state, ids, vals, labels, mask, fields=None):
-        loc, grads_u, _, metrics = self._pull_compute(
+        loc, grads_u, _, metrics, raw = self._pull_compute(
             state, ids, vals, labels, mask, fields
         )
         if self.pallas:
@@ -345,12 +350,12 @@ class LocalStore:
         else:
             state = self.updater.update(
                 state, loc.uids, grads_u, loc.counts, loc.valid,
-                sorted_unique=True,
+                sorted_unique=True, rows=raw,
             )
         return state, metrics
 
     def _eval(self, state, ids, vals, labels, mask, fields=None):
-        _, _, py, metrics = self._pull_compute(
+        _, _, py, metrics, _ = self._pull_compute(
             state, ids, vals, labels, mask, fields
         )
         return metrics, py
@@ -362,6 +367,7 @@ class LocalStore:
     def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts,
                               inv, valid, fields=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        raw = None
         if self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
@@ -369,6 +375,10 @@ class LocalStore:
                 state, loc.uids, loc.valid, self.updater.param,
                 block_rows=self.block_rows, interpret=self.interpret,
             )
+        elif isinstance(state, StackedFMState):
+            raw = self.updater.pull_raw(state, loc.uids, loc.valid,
+                                        sorted_unique=True)
+            rows_u = self.updater.rows_view(raw, loc.valid)
         else:
             rows_u = self.updater.pull(state, loc.uids, loc.valid,
                                        sorted_unique=True)
@@ -376,11 +386,11 @@ class LocalStore:
             rows_u, loc, vals, labels, mask, loss=self.loss,
             fields=fields, num_fields=self.num_fields,
         )
-        return loc, grads_u, py, metrics
+        return loc, grads_u, py, metrics, raw
 
     def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv,
                       valid, fields=None):
-        loc, grads_u, _, metrics = self._prepped_pull_compute(
+        loc, grads_u, _, metrics, raw = self._prepped_pull_compute(
             state, vals, labels, mask, uids, ucounts, inv, valid, fields
         )
         if self.pallas:
@@ -394,13 +404,13 @@ class LocalStore:
         else:
             state = self.updater.update(
                 state, loc.uids, grads_u, loc.counts, loc.valid,
-                sorted_unique=True,
+                sorted_unique=True, rows=raw,
             )
         return state, metrics
 
     def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv,
                       valid, fields=None):
-        _, _, py, metrics = self._prepped_pull_compute(
+        _, _, py, metrics, _ = self._prepped_pull_compute(
             state, vals, labels, mask, uids, ucounts, inv, valid, fields
         )
         return metrics, py
@@ -416,6 +426,7 @@ class LocalStore:
         (the [B*L] -> [U] scatter-add; BENCH.md r4). ffm rides it too,
         with the direct per-slot payload gather (``slot_s``)."""
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
+        raw = None
         if self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
@@ -423,6 +434,12 @@ class LocalStore:
                 state, uids, valid, self.updater.param,
                 block_rows=self.block_rows, interpret=self.interpret,
             )
+        elif isinstance(state, StackedFMState):
+            # ONE [D, U] table gather serves both the worker pull and the
+            # update (the second full-row gather costs ~7 ms at 2^26)
+            raw = self.updater.pull_raw(state, uids, valid,
+                                        sorted_unique=True)
+            rows_u = self.updater.rows_view(raw, valid)
         else:
             rows_u = self.updater.pull(state, uids, valid,
                                        sorted_unique=True)
@@ -446,7 +463,7 @@ class LocalStore:
             )
         else:
             state = self.updater.update(state, uids, grads_u, ucounts, valid,
-                                        sorted_unique=True)
+                                        sorted_unique=True, rows=raw)
         return state, metrics
 
     def _batch_fields(self, pb):

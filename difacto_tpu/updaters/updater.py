@@ -261,12 +261,22 @@ class FMUpdater:
 
     def _pull_stacked(self, state: StackedFMState, uids, valid,
                       sorted_unique: bool) -> jnp.ndarray:
+        rows = self.pull_raw(state, uids, valid, sorted_unique)
+        return self.rows_view(rows, valid)
+
+    def pull_raw(self, state: StackedFMState, uids, valid,
+                 sorted_unique: bool = False) -> jnp.ndarray:
+        """The stacked layout's ONE [D, U] table gather — shared between
+        pull and update by the train step (a second full-row gather
+        costs ~7 ms at 2^26/U=131k; see LocalStore._prepped_step_sorted)."""
+        if sorted_unique:
+            return state.tbl.at[:, uids].get(**_GKW)
+        return state.tbl[:, jnp.where(valid, uids, 0)]
+
+    def rows_view(self, rows: jnp.ndarray, valid) -> jnp.ndarray:
+        """pull_raw [D, U] -> the worker-facing [U, 1+K] (w | gated V)."""
         p = self.param
         k = p.V_dim
-        if sorted_unique:
-            rows = state.tbl.at[:, uids].get(**_GKW)     # ONE gather [D, U]
-        else:
-            rows = state.tbl[:, jnp.where(valid, uids, 0)]
         w = rows[0] * valid.astype(jnp.float32)
         if k == 0:
             return w[:, None]
@@ -310,10 +320,12 @@ class FMUpdater:
         add_cnt: jnp.ndarray,  # f32 [U] batch occurrence counts
         valid: jnp.ndarray,    # bool [U]
         sorted_unique: bool = False,
+        rows: jnp.ndarray | None = None,  # stacked only: pre-gathered
+                               # pull_raw [D, U] (skips the 2nd gather)
     ):
         if isinstance(state, StackedFMState):
             return self._update_stacked(state, uids, grads, add_cnt, valid,
-                                        sorted_unique)
+                                        sorted_unique, rows)
         if isinstance(state, PackedFMState):
             return self._update_packed(state, uids, grads, add_cnt, valid,
                                        sorted_unique)
@@ -401,18 +413,21 @@ class FMUpdater:
         return state
 
     def _update_stacked(self, state, uids, grads, add_cnt, valid,
-                        sorted_unique: bool):
+                        sorted_unique: bool, rows=None):
         """Same math/masking as the planar update, as ONE [D, U] gather +
         ONE [D, U] scatter-add of masked deltas (see StackedFMState —
-        scatter cost is per-index, so one index loop instead of six)."""
+        scatter cost is per-index, so one index loop instead of six).
+        ``rows``: the step's pull_raw result, when the caller shares it."""
         p = self.param
         k = p.V_dim
         if sorted_unique:
-            rows = state.tbl.at[:, uids].get(**_GKW)
+            if rows is None:
+                rows = state.tbl.at[:, uids].get(**_GKW)
             skw = _SKW
         else:
             uids = jnp.where(valid, uids, 0)
-            rows = state.tbl[:, uids]
+            if rows is None:
+                rows = state.tbl[:, uids]
             skw = {}
         w, z, n, cnt = rows[0], rows[1], rows[2], rows[3]
         g = grads[:, 0]

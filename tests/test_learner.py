@@ -535,14 +535,12 @@ def test_checkpoint_chunked_fetch(data, tmp_path, monkeypatch):
     cfg = _cfg(data, max_num_epochs=1, model_out=str(tmp_path / "m"))
     learner = SGDLearner(cfg)
     learner.run()
-    from difacto_tpu.updaters.updater import PackedFMState, unpack_state
+    from helpers import fm_leaves
 
-    state = learner.state
-    if isinstance(state, PackedFMState):
-        state = unpack_state(state)
+    state = fm_leaves(learner.state)  # FMState view of any layout
     saved = ckpt.load(str(tmp_path / "m"))[0]
     for k in ("w", "z", "n", "V", "nV", "cnt"):
         np.testing.assert_array_equal(
             np.asarray(getattr(saved, k)),
-            ckpt._fetch_np(getattr(state, k)),
+            np.asarray(getattr(state, k)),
         )

@@ -55,7 +55,9 @@ def test_hw_pairs_train_step_matches_xla(tpu):
     )
 
     def run(kernel):
-        from difacto_tpu.updaters.updater import PackedFMState, unpack_state
+        from difacto_tpu.updaters.updater import (
+            PackedFMState, StackedFMState, unpack_state, unstack_state,
+        )
 
         cfg = Config.from_kwargs([
             ("batch_size", str(B)), ("num_bits", str(num_bits)),
@@ -73,6 +75,8 @@ def test_hw_pairs_train_step_matches_xla(tpu):
         dt = time.time() - t0
         if isinstance(state, PackedFMState):
             state = jax.jit(unpack_state)(state)
+        elif isinstance(state, StackedFMState):
+            state = jax.jit(unstack_state)(state)
         return jax.device_get(state), dt
 
     s_xla, t_xla = run("xla")
