@@ -49,6 +49,7 @@ def worker_grads(
     loss: str = "fm",      # fm | ffm (fm with K=0 == logit)
     fields: jnp.ndarray | None = None,  # i32 [B, L] libffm fields (ffm)
     num_fields: int = 0,   # ffm field count F (0 = F = L, slot position)
+    ffm_block: int = 0,    # ffm: L-blocked streaming loss (0 = dense)
 ) -> tuple[jnp.ndarray, jnp.ndarray, StepMetrics]:
     """Compute per-unique-id aggregated gradients and batch metrics.
 
@@ -65,7 +66,8 @@ def worker_grads(
         F = num_fields or L
         assert K % F == 0, "ffm rows must be [U, 1 + F*k]"
         V4 = rows[..., 1:].reshape(B, L, F, K // F)
-        fwd, g = ffm_loss_grad(vals, W, V4, labels, mask, fields=fields)
+        fwd, g = ffm_loss_grad(vals, W, V4, labels, mask, fields=fields,
+                               block=ffm_block)
     else:
         V = rows[..., 1:]
         fwd, g = fm_loss_grad(vals, W, V, labels, mask)
@@ -103,6 +105,7 @@ def worker_grads_sorted(
     loss: str = "fm",      # fm | ffm (fm with K=0 == logit)
     fields: jnp.ndarray | None = None,  # i32 [B, L] libffm fields (ffm)
     num_fields: int = 0,   # ffm field count F (0 = F = L, slot position)
+    ffm_block: int = 0,    # ffm: L-blocked streaming loss (0 = dense)
     slot_s: jnp.ndarray | None = None,  # i32 [BLp] flat B*L slot per sorted
                            # slot (the sort permutation; ffm only)
     interpret: bool = False,
@@ -156,7 +159,7 @@ def worker_grads_sorted(
         assert K % F == 0, "ffm rows must be [U, 1 + F*k]"
         V4 = rows[..., 1:].reshape(B, L, F, K // F)
         fwd, g = ffm_loss_grad(vals, rows[..., 0], V4, labels, mask,
-                               fields=fields)
+                               fields=fields, block=ffm_block)
         flat = jnp.concatenate(
             [g.dW.reshape(B * L, 1), g.dV.reshape(B * L, K)], axis=1
         )

@@ -106,6 +106,7 @@ def ffm_loss_grad(
     labels01: jnp.ndarray,
     mask: jnp.ndarray,
     fields: jnp.ndarray | None = None,  # i32 [B, L] per-slot field id < F
+    block: int = 0,        # >0: L-blocked streaming (peak O(B*block*L*K))
 ) -> tuple[FMForward, FMGrads]:
     """Field-aware FM: py = <w,x> + sum_{i<j} x_i x_j <V_i[f_j], V_j[f_i]>.
 
@@ -121,9 +122,17 @@ def ffm_loss_grad(
         any slot order and several features per field. Padding slots must
         carry vals == 0 (their field id is then irrelevant).
 
-    Cost is O(B L^2 K) versus FM's O(B L K) — the classic FFM tradeoff;
-    keep batch_size * L^2 * K sized to fit HBM.
+    Cost is O(B L^2 K) versus FM's O(B L K) — the classic FFM tradeoff.
+    The dense path materializes ~[B, L, L, K] activations; ``block``
+    streams the i axis in L-blocks via lax.scan so peak activation
+    memory is O(B * block * L * K) — the counterpart of the reference's
+    row-streamed CSR SpMM (any L at bounded memory). Summation order
+    differs from dense by float association only.
     """
+    if block and block < vals.shape[1]:
+        return _ffm_loss_grad_blocked(
+            vals, W, V4, labels01, mask, fields, block
+        )
     B, L = vals.shape
     F, K = V4.shape[2], V4.shape[3]
     linear = jnp.sum(vals * W, axis=-1)
@@ -158,5 +167,99 @@ def ffm_loss_grad(
         Gj = jnp.swapaxes(G, 1, 2).reshape(B * L, L, K)  # leading axis = (b, j)
         dV4 = jax.ops.segment_sum(Gj, seg, num_segments=B * F)
         dV4 = jnp.swapaxes(dV4.reshape(B, F, L, K), 1, 2)  # [B, L(i), F, K]
+    fwd = FMForward(py, jnp.zeros((B, 0), vals.dtype))
+    return fwd, FMGrads(dW, dV4, loss, correct)
+
+
+def _ffm_loss_grad_blocked(
+    vals, W, V4, labels01, mask, fields, block: int
+) -> tuple[FMForward, FMGrads]:
+    """ffm_loss_grad with the i axis streamed in ``block``-slot chunks.
+
+    Two lax.scan passes (the classic rematerialization split): pass 1
+    accumulates py (d needs the FULL margin before any gradient), pass 2
+    recomputes each block's cross terms and emits its dV4 slab. Peak
+    activation memory is ~3 x [B, block, L, K] instead of the dense
+    path's ~6 x [B, L, L, K]; compute doubles the cheap gather/multiply
+    stages but the O(B L^2 K) contraction count is unchanged.
+    """
+    B, L = vals.shape
+    F, K = V4.shape[2], V4.shape[3]
+    nb = -(-L // block)
+    Lp = nb * block
+    pad = Lp - L
+    vals_p = jnp.pad(vals, ((0, 0), (0, pad)))  # pad slots: x = 0
+    if fields is None:
+        assert F == L, "slot-position ffm needs F == L"
+        # pad the FIELD axis too: slot position is the field, and the
+        # last block's dynamic_slice over it must not clamp-and-shift
+        V4_p = jnp.pad(V4, ((0, 0), (0, pad), (0, pad), (0, 0)))
+        idx_j = None
+        fi_p = None
+    else:
+        V4_p = jnp.pad(V4, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        idx_j = jnp.clip(fields, 0, F - 1).astype(jnp.int32)  # [B, L]
+        fi_p = jnp.pad(idx_j, ((0, 0), (0, pad)))             # [B, Lp]
+    jr = jnp.arange(L, dtype=jnp.int32)
+
+    def cross(b):
+        """Block b's M_I (x_i x_j, i != j masked) and At_I (V_j[f_i]):
+        the two tensors both passes need. Shapes [B, block, L(, K)]."""
+        i0 = b * block
+        if fields is None:
+            # At[b, ib, j, k] = V4[b, j, i0 + ib, k]
+            Vi_t = jax.lax.dynamic_slice_in_dim(V4_p, i0, block, axis=2)
+            At = jnp.swapaxes(Vi_t[:, :L], 1, 2)       # [B, block, L, K]
+        else:
+            fi = jax.lax.dynamic_slice_in_dim(fi_p, i0, block, axis=1)
+            At = jnp.take_along_axis(
+                V4,
+                jnp.broadcast_to(fi[:, None, :, None], (B, L, block, K)),
+                axis=2,
+            )
+            At = jnp.swapaxes(At, 1, 2)                # [B, block, L, K]
+        xi = jax.lax.dynamic_slice_in_dim(vals_p, i0, block, axis=1)
+        M = xi[:, :, None] * vals[:, None, :]          # [B, block, L]
+        ii = i0 + jnp.arange(block, dtype=jnp.int32)
+        M = M * (ii[:, None] != jr[None, :]).astype(vals.dtype)
+        return M, At
+
+    def fwd_step(py_acc, b):
+        M, At = cross(b)
+        # A[b, ib, j, k] = V_i[f_j]: gather block i's factors by f_j
+        Vi = jax.lax.dynamic_slice_in_dim(V4_p, b * block, block, axis=1)
+        if fields is None:
+            A = Vi[..., :L, :]                         # F == L
+        else:
+            A = jnp.take_along_axis(
+                Vi,
+                jnp.broadcast_to(idx_j[:, None, :, None], (B, block, L, K)),
+                axis=2,
+            )
+        T = jnp.sum(A * At, axis=-1)                   # [B, block, L]
+        return py_acc + 0.5 * jnp.sum(M * T, axis=(1, 2)), None
+
+    linear = jnp.sum(vals * W, axis=-1)
+    py, _ = jax.lax.scan(
+        fwd_step, linear, jnp.arange(nb, dtype=jnp.int32)
+    )
+    d, loss, correct = logit_grad_coeff(py, labels01, mask)
+    dW = vals * d[:, None]
+    if fields is not None:
+        onehot = (idx_j[..., None] == jnp.arange(F)[None, None, :]).astype(
+            vals.dtype
+        )                                              # [B, L, F]
+
+    def bwd_step(_, b):
+        M, At = cross(b)
+        G = (d[:, None, None] * M)[..., None] * At     # [B, block, L, K]
+        if fields is None:
+            return None, G                             # F == L: j axis IS f
+        return None, jnp.einsum("bijk,bjf->bifk", G, onehot)
+
+    _, slabs = jax.lax.scan(
+        bwd_step, None, jnp.arange(nb, dtype=jnp.int32)
+    )                                                  # [nb, B, block, F, K]
+    dV4 = jnp.moveaxis(slabs, 0, 1).reshape(B, Lp, F, K)[:, :L]
     fwd = FMForward(py, jnp.zeros((B, 0), vals.dtype))
     return fwd, FMGrads(dW, dV4, loss, correct)

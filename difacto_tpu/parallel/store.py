@@ -187,6 +187,7 @@ class LocalStore:
         self.loss = cfg.learner.loss
         # libffm explicit fields: batches carry an i32 [B, L] field array
         self.num_fields = cfg.model.num_fields
+        self.ffm_block = cfg.model.ffm_block_size
         self.expects_fields = cfg.expects_fields()
         # sorted-slot segment-sum gradient aggregation (ops/segsum.py):
         # default wherever the batch is host-prepped and the loss is
@@ -328,7 +329,7 @@ class LocalStore:
                                        sorted_unique=True)
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         # distinct ids dropped by an undersized unique_size (counted, not
         # silent — see ops/localize.py)
@@ -384,7 +385,7 @@ class LocalStore:
                                        sorted_unique=True)
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         return loc, grads_u, py, metrics, raw
 
@@ -446,7 +447,7 @@ class LocalStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
-            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            loss=self.loss, fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
             slot_s=slot_s,
             interpret=self._segsum_interpret,
         )
@@ -568,7 +569,7 @@ class LocalStore:
         rows_u = jnp.where(valid[:, None], rows_p.T, 0.0)
         grads_u, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         return loc, grads_u, py, metrics
 
@@ -619,7 +620,7 @@ class LocalStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s, bidx, inv_s, s_tiles, s_wins, s_first),
-            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            loss=self.loss, fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
             slot_s=slot_s,
             interpret=self.interpret,
         )
@@ -721,6 +722,7 @@ class ShardedStore:
         # step signature (and shard_map spec list) grows a trailing
         # i32 [B, L] field array sharded like vals
         self.num_fields = cfg.model.num_fields
+        self.ffm_block = cfg.model.ffm_block_size
         self.expects_fields = cfg.expects_fields()
         # per-(src,dst) all_to_all slot capacity for the worst-case path
         # (the prepped path re-derives it from the actual unique bucket)
@@ -1224,7 +1226,7 @@ class ShardedStore:
         rows_u, ctx, dropped = self._pull(state, loc)
         grads_u, _, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         state = self._push(state, loc, grads_u, ctx)
         return state, self._psum_metrics(metrics, dropped + loc.overflow)
@@ -1234,7 +1236,7 @@ class ShardedStore:
         rows_u, _, dropped = self._pull(state, loc)
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         return self._psum_metrics(metrics, dropped + loc.overflow), py
 
@@ -1248,7 +1250,7 @@ class ShardedStore:
         rows_u, ctx, dropped = self._pull(state, loc)
         grads_u, _, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         state = self._push(state, loc, grads_u, ctx)
         return state, self._psum_metrics(metrics, dropped + dropped_prep[0])
@@ -1259,7 +1261,7 @@ class ShardedStore:
         rows_u, _, dropped = self._pull(state, loc)
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
 
@@ -1282,7 +1284,7 @@ class ShardedStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
-            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            loss=self.loss, fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
             slot_s=slot_s,
             interpret=self._segsum_interpret,
         )
@@ -1431,7 +1433,7 @@ class ShardedStore:
         )
         grads_u, _, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         state = self._push_pairs(
             state, loc, grads_u, ctx + (ab_[0], aw_[0], af_[0]), capacity
@@ -1460,7 +1462,7 @@ class ShardedStore:
         grads_p, _, metrics = worker_grads_sorted(
             rows_u, loc, vals, labels, mask,
             (x_s[0], bidx[0], inv_s[0], st_[0], sw_[0], sf_[0]),
-            loss=self.loss, fields=fields, num_fields=self.num_fields,
+            loss=self.loss, fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
             slot_s=slot_s,
             interpret=self.interpret,
         )
@@ -1478,7 +1480,7 @@ class ShardedStore:
         )
         _, py, metrics = worker_grads(
             rows_u, loc, vals, labels, mask, loss=self.loss,
-            fields=fields, num_fields=self.num_fields,
+            fields=fields, num_fields=self.num_fields, ffm_block=self.ffm_block,
         )
         return self._psum_metrics(metrics, dropped + dropped_prep[0]), py
 

@@ -90,19 +90,83 @@ def test_ffm_end_to_end_learns(tmp_path):
     assert prog.exact_auc > 0.57, prog.exact_auc
 
 
-def test_ffm_activation_budget_checked_at_config_time():
-    """VERDICT r3 weak #4: the O(B L^2 K) FFM activation term must be
-    validated up front, not OOM the chip mid-epoch."""
-    import pytest
+def test_ffm_activation_budget_autoblocks_at_config_time():
+    """VERDICT r3 weak #4 / r4 weak #4: past the O(B L^2 K) activation
+    budget the config auto-picks an L-blocked streaming loss (the
+    reference streamed CSR rows at any L); only a config too big even at
+    block=8 is rejected."""
 
-    from difacto_tpu.config import Config
-
-    def mk(B, L, K):
+    def mk(B, L, K, extra=()):
         return Config.from_kwargs([
             ("loss", "ffm"), ("batch_size", str(B)),
-            ("max_nnz_per_row", str(L)), ("V_dim", str(K)),
+            ("max_nnz_per_row", str(L)), ("V_dim", str(K)), *extra,
         ])
 
-    mk(4096, 24, 4)  # flagship FFM shape: ~0.2 GiB, fine
+    assert mk(4096, 24, 4).model.ffm_block_size == 0  # fits dense
+    big = mk(16384, 256, 16)  # ~384 GiB dense -> blocked
+    assert big.model.ffm_block_size == 8
+    # an explicit block size is respected, never overridden
+    assert mk(16384, 256, 16, [("ffm_block_size", "16")]
+              ).model.ffm_block_size == 16
     with pytest.raises(ValueError, match="O\\(B L\\^2 K\\)"):
-        mk(16384, 256, 16)  # ~96 GiB of activations
+        mk(65536, 1024, 32)  # even block=8 exceeds the budget
+
+
+def test_ffm_blocked_matches_dense():
+    """The L-blocked streaming loss is the dense math re-associated:
+    py/dW/dV/loss match in both field modes at dividing and
+    non-dividing block sizes."""
+    rng = np.random.default_rng(7)
+    B, L, F, K = 4, 11, 5, 3
+    vals = rng.normal(size=(B, L)).astype(np.float32)
+    vals[rng.random((B, L)) < 0.2] = 0.0
+    W = rng.normal(size=(B, L)).astype(np.float32)
+    y = (rng.random(B) > 0.5).astype(np.float32)
+    m = np.ones(B, np.float32)
+    m[-1] = 0.0
+    fields = rng.integers(0, F, (B, L)).astype(np.int32)
+    cases = [
+        (jnp.asarray(fields),
+         jnp.asarray(rng.normal(size=(B, L, F, K)).astype(np.float32))),
+        (None,
+         jnp.asarray(rng.normal(size=(B, L, L, K)).astype(np.float32))),
+    ]
+    for flds, V4 in cases:
+        args = (jnp.asarray(vals), jnp.asarray(W), V4,
+                jnp.asarray(y), jnp.asarray(m))
+        ref_f, ref_g = ffm_loss_grad(*args, fields=flds)
+        for blk in (1, 4, 11, 16):
+            f, g = ffm_loss_grad(*args, fields=flds, block=blk)
+            np.testing.assert_allclose(f.py, ref_f.py, rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(g.dW, ref_g.dW, rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(g.dV, ref_g.dV, rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(g.loss, ref_g.loss,
+                                       rtol=2e-5, atol=1e-5)
+
+
+def test_ffm_blocked_worker_grads_matches():
+    """ffm_block threads through worker_grads (the store-facing seam):
+    aggregated grads and metrics match the dense path."""
+    from difacto_tpu.learners.step import worker_grads
+    from difacto_tpu.ops.localize import Localized
+
+    rng = np.random.default_rng(11)
+    B, L, F, k, U = 4, 6, 3, 2, 9
+    D = 1 + F * k
+    rows_u = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    inv = jnp.asarray(rng.integers(0, U, (B * L,)).astype(np.int32))
+    loc = Localized(uids=jnp.arange(U, dtype=jnp.int32), inv=inv,
+                    counts=jnp.ones(U, jnp.float32),
+                    valid=jnp.ones(U, bool))
+    vals = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    labels = jnp.asarray((rng.random(B) > 0.5).astype(np.float32))
+    mask = jnp.ones(B, jnp.float32)
+    fields = jnp.asarray(rng.integers(0, F, (B, L)).astype(np.int32))
+    g0, py0, m0 = worker_grads(rows_u, loc, vals, labels, mask,
+                               loss="ffm", fields=fields, num_fields=F)
+    g1, py1, m1 = worker_grads(rows_u, loc, vals, labels, mask,
+                               loss="ffm", fields=fields, num_fields=F,
+                               ffm_block=2)
+    np.testing.assert_allclose(py1, py0, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(m1.logloss_sum, m0.logloss_sum, rtol=2e-5)
