@@ -94,6 +94,9 @@ def _store():
         ("layout", os.environ.get("BENCH_LAYOUT", "auto")),
         ("block_rows", os.environ.get("BENCH_BLOCK_ROWS", "1024")),
         ("segsum", os.environ.get("BENCH_SEGSUM", "auto")),
+        # BENCH_HOT: hot/cold frequency split (HotColdFMState) row count;
+        # -1 = auto-size, 0 = off
+        ("hot_rows", os.environ.get("BENCH_HOT", "0")),
         # bench loops over a fixed batch set: keep their device arrays
         # resident (the sharded store re-places per step otherwise)
         ("cache_batches", "1"),
@@ -132,8 +135,21 @@ def bench_tpu() -> dict:
         else:
             step = lambda s, i: store.train_step_prepped(s, pbs[i % len(pbs)])
     elif prep:
+        remap = None
+        if getattr(store, "hot_rows", 0):
+            from difacto_tpu.data.remap import build_remap, count_sample
+
+            remap = build_remap(
+                count_sample(iter(batches), 1 << NUM_BITS, len(batches)),
+                store.hot_rows,
+            )
+            store.set_remap(remap)
+
         def prep_one(b):
-            pb = prep_batch(b, 1 << NUM_BITS)
+            pb = prep_batch(
+                b, 1 << NUM_BITS, remap=remap,
+                hot_rows=getattr(store, "hot_rows", 0),
+            )
             if store.pairs:
                 from difacto_tpu.ops.pair_sweep import build_pair_meta
 

@@ -210,6 +210,18 @@ class ShardParam(ParamBase):
     interpret: bool = False        # run Pallas kernels in interpret mode
                                    # (CPU testing of kernel=pallas/pairs;
                                    # does NOT check Mosaic rules)
+    hot_rows: int = 0              # big-table hot/cold frequency split
+                                   # (kernel=xla LocalStore): relabel
+                                   # rows by observed frequency and keep
+                                   # the hottest hot_rows in a separate
+                                   # small table whose per-index
+                                   # scatter/gather cost is ~7x lower
+                                   # (measured cliff ~2^18 rows at K=16,
+                                   # scripts/hw_scatter_cliff.py).
+                                   # 0 = off, -1 = auto-size to the
+                                   # fast-scatter budget
+    hot_count_batches: int = 64    # batches sampled for the frequency
+                                   # remap's count pass (hot_rows != 0)
     # (round 3: the opt-in "sorted" slot pipeline was REMOVED — measured
     # 112.8 ms/step vs the prepped pair path's 23.1 at flagship shapes,
     # with no winning regime; see BENCH.md "Sorted pipeline" history)

@@ -88,6 +88,14 @@ class PreppedBatch:
     sorted_slots: object = None  # SortedSlots when segsum=sorted
     fields: np.ndarray | None = None  # i32 [B, L] libffm fields (loss=ffm)
     fields_checked: bool = False  # range-validated at prep time (host)
+    # hot/cold frequency split (data/remap.py + HotColdFMState): when
+    # set, ``uids`` is the concatenation of a hot-prefix bucket (ids <
+    # hot_rows, pad sentinel hot_rows) and a cold bucket (pad sentinel
+    # num_rows) — these are views uids[:Ch] / uids[Ch:], carried as
+    # separate arrays so the jitted step specializes on the split point
+    # through their SHAPES.
+    uids_hot: np.ndarray | None = None   # i32 [Ch]
+    uids_cold: np.ndarray | None = None  # i32 [Cc] GLOBAL remapped ids
 
     @property
     def num_examples(self) -> int:
@@ -177,9 +185,50 @@ def _pack_localized(uids, inv, counts, has_sentinel, n_real, num_rows, ub):
     return u_out, c_out, inv, valid, dropped
 
 
+# cold-bucket granularity for the hot/cold split: the big-table scatter
+# pays ~155 ns per COLD lane including pads (hw_scatter_cliff.py), so the
+# cold bucket rounds finely; the slop from the coarse total-U ladder
+# (which the segsum kernel's Mosaic specialization is keyed on) lands in
+# the HOT bucket at ~22 ns/lane instead
+_COLD_GRAN = 2048
+
+
+def _pack_localized_split(
+    uids, inv, counts, has_sentinel, n_real, num_rows, hot_rows,
+    buckets, min_ub,
+):
+    """Split-pack one batch's sorted uniques into [hot-prefix | cold]
+    buckets (see PreppedBatch.uids_hot). Returns
+    (uids, counts, inv, valid, ch)."""
+    n_hot = int(np.searchsorted(uids[:n_real], hot_rows, side="left"))
+    n_cold = n_real - n_hot
+    # the junk lane (sentinel/padding slots) always lives in the cold pad
+    cc = max(-(-(n_cold + 1) // _COLD_GRAN) * _COLD_GRAN, _COLD_GRAN)
+    floor = (min_ub + 127) // 128 * 128 if min_ub else 0
+    ub = max(bucket_for(n_hot + cc, buckets), floor)
+    ch = ub - cc
+    u_out = np.full(ub, num_rows, np.int32)
+    u_out[:n_hot] = uids[:n_hot]
+    u_out[n_hot:ch] = hot_rows  # hot pad sentinel: OOB for the hot table
+    u_out[ch : ch + n_cold] = uids[n_hot:n_real]
+    c_out = np.zeros(ub, np.float32)
+    c_out[:n_hot] = counts[:n_hot]
+    c_out[ch : ch + n_cold] = counts[n_hot:n_real]
+    valid = np.zeros(ub, bool)
+    valid[:n_hot] = True
+    valid[ch : ch + n_cold] = True
+    inv = inv.astype(np.int32)
+    # hot positions unchanged; cold shifted past the hot pads; the
+    # sentinel entry (old position n_real) lands on the first cold pad —
+    # an invalid junk lane by construction (cc > n_cold)
+    inv = np.where(inv < n_hot, inv, inv - n_hot + ch)
+    return u_out, c_out, inv, valid, ch
+
+
 def prep_batch(
     batch: Batch, num_rows: int, buckets=DEFAULT_BUCKETS,
     min_ub: int | None = None, num_fields: int = 0,
+    remap: np.ndarray | None = None, hot_rows: int = 0,
 ) -> PreppedBatch:
     """np.unique localization of one padded batch (reference:
     Localizer::Compact — sort, dedup, rewrite indices, count).
@@ -191,9 +240,39 @@ def prep_batch(
     next bucket up (correctness first; one extra specialization).
 
     ``num_fields`` > 0 validates explicit libffm field ids host-side
-    (the last point where they are still numpy on the prepped path)."""
+    (the last point where they are still numpy on the prepped path).
+
+    ``remap``/``hot_rows``: frequency-ordered row relabeling + hot/cold
+    bucket split (data/remap.py, HotColdFMState). The remap gather runs
+    BEFORE dedup, so the whole downstream pipeline (sorted uniques,
+    inverse, segment-sum schedules) operates in remapped space
+    unchanged."""
     validate_fields(batch.fields, num_fields)
-    uids, inv, counts, has_sentinel, n_real = _localize_ids(batch.ids, num_rows)
+    ids = batch.ids
+    if remap is not None:
+        from .remap import apply_remap
+
+        assert hot_rows > 0, "remap without hot_rows has no effect"
+        ids = apply_remap(ids, remap)
+    uids, inv, counts, has_sentinel, n_real = _localize_ids(ids, num_rows)
+    if remap is not None:
+        u_out, c_out, inv, valid, ch = _pack_localized_split(
+            uids, inv, counts, has_sentinel, n_real, num_rows, hot_rows,
+            buckets, min_ub,
+        )
+        return PreppedBatch(
+            vals=batch.vals,
+            labels=batch.labels,
+            mask=batch.mask,
+            uids=u_out,
+            ucounts=c_out,
+            inv=inv.reshape(-1),
+            valid=valid,
+            fields=batch.fields,
+            fields_checked=num_fields > 0,
+            uids_hot=u_out[:ch].copy(),
+            uids_cold=u_out[ch:].copy(),
+        )
     # the bucket must leave a junk lane for sentinel slots when present;
     # the floor rounds up to the pair kernels' 128-lane window granule
     need = max(n_real + int(has_sentinel), 1)

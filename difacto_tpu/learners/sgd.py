@@ -90,6 +90,33 @@ class SGDLearner:
         self._batch_cache: dict[str, list] = {}
         self._epoch = 0
         self._resume_step = 0  # batches already consumed in self._epoch
+        # hot/cold frequency remap (data/remap.py + HotColdFMState): a
+        # host count pass over the first hot_count_batches builds the
+        # per-run row relabeling BEFORE any state exists (checkpoints
+        # stay canonical; the lut never needs to match a previous run's)
+        self._hot_remap = None
+        if getattr(self.store, "hot_rows", 0):
+            if not self._host_localize:
+                raise ValueError(
+                    "hot_rows needs host_localize=1 (the remap and the "
+                    "hot/cold bucket split are host-side prep work)"
+                )
+            from ..data.remap import build_remap, count_sample
+
+            cnt = count_sample(
+                self._iter(cfg.data.data_in, shuffle=False, localize=False),
+                self.store.num_rows,
+                cfg.shard.hot_count_batches,
+            )
+            self._hot_remap = build_remap(cnt, self.store.hot_rows)
+            self.store.set_remap(self._hot_remap)
+            log.info(
+                "hot remap built: head %d of %d rows (%.1f%% of sampled "
+                "slots)", self.store.hot_rows, self.store.num_rows,
+                100.0 * cnt[np.argpartition(
+                    cnt, -self.store.hot_rows)[-self.store.hot_rows:]].sum()
+                / max(cnt.sum(), 1),
+            )
         if cfg.learner.model_in:
             self.state, meta = checkpoint.load_for_store(
                 cfg.learner.model_in, self.store
@@ -221,6 +248,10 @@ class SGDLearner:
                 # bucket churn (kernel compiles cost minutes on the
                 # remote compile service — BENCH.md)
                 min_ub = self.cfg.shard.unique_size or None
+                # hot/cold frequency split: prep relabels rows and packs
+                # split unique buckets (data/remap.py, HotColdFMState)
+                hot = getattr(self.store, "hot_rows", 0)
+                remap = self._hot_remap
                 if getattr(self.store, "pairs", False):
                     # kernel=pairs: build the (block, window) pair schedule
                     # — and the sorted-slot arrays for the scatter-free
@@ -250,7 +281,8 @@ class SGDLearner:
 
                     def fn(b):
                         pb = prep_batch(
-                            b, num_rows, min_ub=min_ub, num_fields=nf
+                            b, num_rows, min_ub=min_ub, num_fields=nf,
+                            remap=remap, hot_rows=hot,
                         )
                         pb.sorted_slots = build_sorted_slots(
                             pb.inv, pb.vals, pb.uids.shape[0],
@@ -259,7 +291,8 @@ class SGDLearner:
                         return pb
                 else:
                     fn = lambda b: prep_batch(
-                        b, num_rows, min_ub=min_ub, num_fields=nf
+                        b, num_rows, min_ub=min_ub, num_fields=nf,
+                        remap=remap, hot_rows=hot,
                     )
         # prep_workers=0 -> auto: leave cores for the parse thread, the
         # batchify pool and the main thread — oversubscribing a small
@@ -371,8 +404,15 @@ class SGDLearner:
         kFeaCount push pass enabling tail_feature_filter)."""
         n = 0
         for batch in self._iter(self.cfg.data.data_in, shuffle=False, localize=False):
+            ids = batch.ids
+            if self._hot_remap is not None:
+                # the split state is addressed in remapped row space; the
+                # raw count stream must be relabeled the same way prep is
+                from ..data.remap import apply_remap
+
+                ids = apply_remap(ids, self._hot_remap)
             args = self.store.shard_batch(
-                batch.ids, batch.vals, batch.labels, batch.mask, batch.fields
+                ids, batch.vals, batch.labels, batch.mask, batch.fields
             )
             self.state = self.store.count_step(self.state, args[0])
             n += 1
@@ -415,6 +455,7 @@ class SGDLearner:
                     checkpoint.save(
                         cfg.learner.model_out, self.state,
                         {"epoch": epoch, "step": step},
+                        remap_lut=getattr(self.store, "hot_lut", None),
                     )
         if acc is not None:
             self._fold(prog, acc)
@@ -563,6 +604,7 @@ class SGDLearner:
                 path = checkpoint.save(
                     cfg.learner.model_out, self.state,
                     {"epoch": epoch + 1, "step": 0},
+                    remap_lut=getattr(self.store, "hot_lut", None),
                 )
                 log.info("saved model to %s", path)
         return last

@@ -43,8 +43,8 @@ from ..config import Config
 from ..learners.step import StepMetrics, worker_grads, worker_grads_sorted
 from ..ops.localize import Localized, localize
 from ..updaters.updater import (
-    FMState, FMUpdater, PackedFMState, StackedFMState, pack_state,
-    stack_state, unpack_state, unstack_state,
+    FMState, FMUpdater, HotColdFMState, PackedFMState, StackedFMState,
+    pack_state, stack_state, unpack_state, unstack_state,
 )
 
 log = logging.getLogger("difacto_tpu")
@@ -128,6 +128,10 @@ def _kernel_kind(cfg: Config) -> str:
     (data/prep.py::build_shard_pair_metas_mp). On a sharded mesh the
     threshold applies to the PER-SHARD table."""
     kind = cfg.shard.kernel
+    if kind == "auto" and cfg.shard.hot_rows != 0:
+        # the hot/cold split is a big-table XLA-path design (the Pallas
+        # pair/sweep kernels address one table); hot_rows pins it
+        return "xla"
     if kind == "auto":
         if cfg.shard.store == "local":
             n_shards = 1
@@ -183,6 +187,31 @@ class LocalStore:
         self.pairs = kind == "pairs"
         self.interpret = interpret
         self.layout = _resolve_layout(cfg, self.pallas or self.pairs)
+        # hot/cold frequency split (HotColdFMState + data/remap.py):
+        # hot_rows > 0 keeps the hottest rows in a small table whose
+        # per-index scatter/gather is ~7x cheaper (measured cliff,
+        # scripts/hw_scatter_cliff.py); -1 auto-sizes to the budget
+        self.hot_rows = cfg.shard.hot_rows
+        if self.hot_rows:
+            if self.pallas or self.pairs:
+                raise ValueError(
+                    "hot_rows needs kernel=xla (the Pallas table kernels "
+                    "address a single planar table)"
+                )
+            if self.layout != "stacked":
+                raise ValueError("hot_rows needs layout=stacked (or auto)")
+            if self.hot_rows == -1:
+                from ..data.remap import auto_hot_rows
+
+                self.hot_rows = auto_hot_rows(
+                    self.num_rows, self.updater.param.V_dim
+                )
+            if not 0 < self.hot_rows < self.num_rows:
+                raise ValueError(
+                    f"hot_rows {self.hot_rows} out of range for a "
+                    f"{self.num_rows}-row table"
+                )
+        self.hot_lut = None  # set via set_remap() before prepped steps
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.loss = cfg.learner.loss
         # libffm explicit fields: batches carry an i32 [B, L] field array
@@ -222,11 +251,24 @@ class LocalStore:
         )
 
     def init_state(self, seed: int = 0):
+        if self.hot_rows:
+            return self.updater.init_state_hotcold(
+                self.num_rows, self.hot_rows, seed
+            )
         if self.layout == "packed":
             return self.updater.init_state_packed(self.num_rows, seed)
         if self.layout == "stacked":
             return self.updater.init_state_stacked(self.num_rows, seed)
         return self.updater.init_state(self.num_rows, seed)
+
+    def set_remap(self, lut: np.ndarray) -> None:
+        """Install the frequency remap (data/remap.py::build_remap).
+        Prep must apply the SAME lut to every batch (the learner threads
+        it into prep_batch); the store needs it only to canonicalize
+        checkpoint state (place_state / utils.checkpoint.save)."""
+        assert self.hot_rows, "set_remap without hot_rows"
+        assert lut.shape == (self.num_rows,)
+        self.hot_lut = lut
 
     def place_state(self, host_state: FMState):
         n_in = host_state.w.shape[0]
@@ -258,6 +300,44 @@ class LocalStore:
                 f"is {self.num_rows} (num_bits mismatch — retrain or load "
                 f"with the original num_bits)"
             )
+        if self.hot_rows:
+            # hot/cold split placement: each canonical plane is permuted
+            # into remapped space on the HOST (the lut never exists on
+            # device) and written plane-at-a-time into the two tables —
+            # same low-peak discipline as the stacked branch below
+            if self.hot_lut is None:
+                raise ValueError(
+                    "hot_rows store cannot place a checkpoint before "
+                    "set_remap() — the learner installs the frequency "
+                    "remap first"
+                )
+            k = self.updater.param.V_dim
+            H = self.hot_rows
+            mk = jax.jit(
+                lambda n: jnp.zeros((4 + 2 * k, n), jnp.float32),
+                static_argnums=0,
+            )
+            hot, cold = mk(H), mk(self.num_rows - H)
+            set_at = jax.jit(
+                lambda t, r, i: jax.lax.dynamic_update_slice(
+                    t, jnp.atleast_2d(r), (i, 0)
+                ),
+                donate_argnums=0,
+            )
+            planes = [("w", 0), ("z", 1), ("n", 2), ("cnt", 3)]
+            if k > 0:
+                planes += [("V", 4), ("nV", 4 + k)]
+            buf = np.empty(self.num_rows, np.float32)
+            for name, i in planes:
+                src = np.asarray(getattr(host_state, name))
+                for j in range(src.shape[0] if src.ndim == 2 else 1):
+                    plane = src[j] if src.ndim == 2 else src
+                    buf[self.hot_lut] = plane  # canonical -> remapped
+                    hot = set_at(hot, jax.device_put(buf[:H]), jnp.int32(i + j))
+                    cold = set_at(
+                        cold, jax.device_put(buf[H:]), jnp.int32(i + j)
+                    )
+            return HotColdFMState(hot=hot, cold=cold)
         if self.layout == "stacked":
             # plane-at-a-time placement: device_put of the whole planar
             # state next to the stacked table would transiently hold
@@ -311,6 +391,12 @@ class LocalStore:
         return self.pallas and dp * (u + 2048) * 4 <= (8 << 20)
 
     def _pull_compute(self, state, ids, vals, labels, mask, fields=None):
+        if isinstance(state, HotColdFMState):
+            raise ValueError(
+                "hot_rows needs host-prepped batches (host_localize=1): "
+                "the hot/cold bucket split and the frequency remap are "
+                "host-side prep work"
+            )
         loc = localize(ids, self.num_rows, self.unique_size)
         raw = None
         if self._use_sweep_pull(loc.uids.shape[0]):
@@ -366,10 +452,16 @@ class LocalStore:
     # its cost and shrinks U to the batch's actual unique count ----------
 
     def _prepped_pull_compute(self, state, vals, labels, mask, uids, ucounts,
-                              inv, valid, fields=None):
+                              inv, valid, fields=None,
+                              uids_h=None, uids_c=None):
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         raw = None
-        if self._use_sweep_pull(uids.shape[0]):
+        if uids_h is not None:
+            # hot/cold split: the big-table gather sees only the cold
+            # minority (see HotColdFMState)
+            raw = self.updater.pull_raw_split(state, uids_h, uids_c)
+            rows_u = self.updater.rows_view(raw, loc.valid)
+        elif self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
             rows_u = sweep_pull(
@@ -390,11 +482,17 @@ class LocalStore:
         return loc, grads_u, py, metrics, raw
 
     def _prepped_step(self, state, vals, labels, mask, uids, ucounts, inv,
-                      valid, fields=None):
+                      valid, fields=None, uids_h=None, uids_c=None):
         loc, grads_u, _, metrics, raw = self._prepped_pull_compute(
-            state, vals, labels, mask, uids, ucounts, inv, valid, fields
+            state, vals, labels, mask, uids, ucounts, inv, valid, fields,
+            uids_h, uids_c,
         )
-        if self.pallas:
+        if uids_h is not None:
+            state = self.updater.update_split(
+                state, uids_h, uids_c, grads_u, loc.counts, loc.valid,
+                rows=raw,
+            )
+        elif self.pallas:
             from ..ops.sweep import sweep_apply
 
             state = sweep_apply(
@@ -410,16 +508,17 @@ class LocalStore:
         return state, metrics
 
     def _prepped_eval(self, state, vals, labels, mask, uids, ucounts, inv,
-                      valid, fields=None):
+                      valid, fields=None, uids_h=None, uids_c=None):
         _, _, py, metrics, _ = self._prepped_pull_compute(
-            state, vals, labels, mask, uids, ucounts, inv, valid, fields
+            state, vals, labels, mask, uids, ucounts, inv, valid, fields,
+            uids_h, uids_c,
         )
         return metrics, py
 
     def _prepped_step_sorted(self, state, vals, labels, mask, uids, ucounts,
                              inv, valid, x_s, bidx, inv_s,
                              s_tiles, s_wins, s_first, fields=None,
-                             slot_s=None):
+                             slot_s=None, uids_h=None, uids_c=None):
         """Host-prepped train step with the scatter-free sorted backward
         (ops/segsum.py) feeding the XLA (or whole-table-sweep) table
         update — the same aggregation the pairs path rides, which is
@@ -428,7 +527,12 @@ class LocalStore:
         with the direct per-slot payload gather (``slot_s``)."""
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         raw = None
-        if self._use_sweep_pull(uids.shape[0]):
+        if uids_h is not None:
+            # hot/cold split: the big-table gather sees only the cold
+            # minority; ONE split gather serves pull and update
+            raw = self.updater.pull_raw_split(state, uids_h, uids_c)
+            rows_u = self.updater.rows_view(raw, valid)
+        elif self._use_sweep_pull(uids.shape[0]):
             from ..ops.sweep import sweep_pull
 
             rows_u = sweep_pull(
@@ -455,7 +559,11 @@ class LocalStore:
         # output is undefined VMEM and the updater's multiplicative
         # masks would turn an Inf there into a committed NaN
         grads_u = jnp.where(valid[:, None], grads_p.T, 0.0)
-        if self.pallas:
+        if uids_h is not None:
+            state = self.updater.update_split(
+                state, uids_h, uids_c, grads_u, ucounts, valid, rows=raw
+            )
+        elif self.pallas:
             from ..ops.sweep import sweep_apply
 
             state = sweep_apply(
@@ -508,6 +616,15 @@ class LocalStore:
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
                 fields=fields,
             )
+        if self.hot_rows and pb.uids_hot is None:
+            raise ValueError(
+                "hot_rows store got an unsplit PreppedBatch — prep must "
+                "run with (remap, hot_rows) (the learner threads them)"
+            )
+        hkw = (
+            dict(uids_h=pb.uids_hot, uids_c=pb.uids_cold)
+            if self.hot_rows else {}
+        )
         if self.sorted_grads:
             ss = self._sorted_slots(pb)
             return self._jit_prepped_step_sorted(
@@ -515,11 +632,11 @@ class LocalStore:
                 pb.inv, pb.valid,
                 ss.x_sorted, ss.bidx, ss.inv_sorted,
                 ss.seg_tiles, ss.seg_wins, ss.seg_first,
-                fields=fields, slot_s=ss.slot_sorted,
+                fields=fields, slot_s=ss.slot_sorted, **hkw,
             )
         return self._jit_prepped_step(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
-            pb.inv, pb.valid, fields=fields,
+            pb.inv, pb.valid, fields=fields, **hkw,
         )
 
     def eval_step_prepped(self, state, pb):
@@ -531,9 +648,18 @@ class LocalStore:
                 pb.inv, pb.valid, m.blocks, m.wins, m.first, m.wfirst,
                 fields=fields,
             )
+        if self.hot_rows and pb.uids_hot is None:
+            raise ValueError(
+                "hot_rows store got an unsplit PreppedBatch — prep must "
+                "run with (remap, hot_rows) (the learner threads them)"
+            )
+        hkw = (
+            dict(uids_h=pb.uids_hot, uids_c=pb.uids_cold)
+            if self.hot_rows else {}
+        )
         return self._jit_prepped_eval(
             state, pb.vals, pb.labels, pb.mask, pb.uids, pb.ucounts,
-            pb.inv, pb.valid, fields=fields,
+            pb.inv, pb.valid, fields=fields, **hkw,
         )
 
     # -- pair-kernel path (ops/pair_sweep.py): Mosaic sweeps over only the
@@ -686,6 +812,13 @@ class ShardedStore:
         # non-power-of-two mesh — e.g. 3 hosts x 2 chips — must too).
         # Padded rows are never hashed into: they only hold init values.
         hash_rows = 1 << cfg.data.num_bits
+        if cfg.shard.hot_rows:
+            raise ValueError(
+                "hot_rows is a LocalStore big-table feature (store=local): "
+                "a sharded mesh already divides rows/shard below the pair-"
+                "kernel crossover where the split would not pay"
+            )
+        self.hot_rows = 0
         kind = _kernel_kind(cfg)
         _check_backend(kind, interpret)
         self.pairs = kind == "pairs"

@@ -123,6 +123,45 @@ class StackedFMState:
         return (self.tbl.shape[0] - 4) // 2
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class HotColdFMState:
+    """Frequency-split stacked state: TWO tables [4+2K, H] + [4+2K, N-H].
+
+    Why (measured, scripts/hw_scatter_cliff.py, v5e): the XLA TPU
+    scatter-add's per-index serial-loop cost drops ~7x (156 -> 22
+    ns/index for 36 strided lanes) once the TARGET table is small enough
+    (~2^18 rows at K=16 — a VMEM-sized working set), and power-law CTR
+    data concentrates ~2/3 of every batch's unique ids in the hottest
+    ~2^18 rows. A host-side frequency remap (data/remap.py) relabels
+    rows so the hot head occupies [0, H); prep then splits each batch's
+    sorted uniques into a hot-prefix bucket and a cold-suffix bucket, so
+    the expensive big-table scatter/gather only sees the cold MINORITY.
+    The remap is pure per-run layout: checkpoints stay in canonical
+    hash-row space (utils/checkpoint.py applies the permutation on the
+    host), so a remapped run round-trips with any other store/layout.
+
+    Counterpart of the reference's cache-conscious server-side update
+    (SURVEY §2.1 SGD updater: the unordered_map touches hot entries in
+    cache by construction; dense TPU tables need the explicit split).
+    """
+
+    hot: jnp.ndarray   # f32 [4+2K, H]   remapped rows [0, H)
+    cold: jnp.ndarray  # f32 [4+2K, N-H] remapped rows [H, N) at uid - H
+
+    @property
+    def num_rows(self) -> int:
+        return self.hot.shape[1] + self.cold.shape[1]
+
+    @property
+    def hot_rows(self) -> int:
+        return self.hot.shape[1]
+
+    @property
+    def k(self) -> int:
+        return (self.hot.shape[0] - 4) // 2
+
+
 # gather/scatter index metadata (see scripts/hw_scatter_scaling.py: the
 # flags shave ~10% and mode=fill/drop removes the sentinel clamp): prep
 # and device localize both produce SORTED-UNIQUE uids whose pad lanes
@@ -222,6 +261,69 @@ class FMUpdater:
 
             tbl = jax.jit(setv, donate_argnums=0)(tbl)
         return StackedFMState(tbl=tbl)
+
+    def init_state_hotcold(
+        self, num_rows: int, hot_rows: int, seed: int = 0
+    ) -> HotColdFMState:
+        """Fresh frequency-split state (see HotColdFMState). Row r of the
+        logical [D, num_rows] table lives in ``hot[:, r]`` when r <
+        hot_rows, else ``cold[:, r - hot_rows]``; V init is per-table
+        (the remap permutes rows anyway, so iid init is iid init)."""
+        assert 0 < hot_rows < num_rows
+        p = self.param
+        k = p.V_dim
+
+        def mk(n, sub):
+            tbl = jax.jit(
+                lambda: jnp.zeros((4 + 2 * k, n), jnp.float32)
+            )()
+            if k > 0:
+                def setv(t):
+                    key = jax.random.fold_in(jax.random.PRNGKey(seed), sub)
+                    V = (
+                        jax.random.uniform(key, (k, n), jnp.float32,
+                                           -1.0, 1.0)
+                        * p.V_init_scale
+                    )
+                    return jax.lax.dynamic_update_slice(t, V, (4, 0))
+
+                tbl = jax.jit(setv, donate_argnums=0)(tbl)
+            return tbl
+
+        return HotColdFMState(
+            hot=mk(hot_rows, 0), cold=mk(num_rows - hot_rows, 1)
+        )
+
+    def pull_raw_split(
+        self, state: HotColdFMState, uids_h: jnp.ndarray,
+        uids_c: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """[D, Ch+Cc] raw rows from the split tables: the hot-prefix
+        bucket gathers the (cheap) small table, the cold bucket the big
+        one. Both buckets are sorted-unique with OOB sentinels (hot pad =
+        hot_rows, cold pad = num_rows), so fill-0 gathers are exact —
+        and the big-table gather only pays per-index cost for the cold
+        MINORITY (the whole point; scripts/hw_scatter_cliff.py)."""
+        H = state.hot_rows
+        rh = state.hot.at[:, uids_h].get(**_GKW)
+        rc = state.cold.at[:, uids_c - H].get(**_GKW)
+        return jnp.concatenate([rh, rc], axis=1)
+
+    def update_split(
+        self, state: HotColdFMState, uids_h, uids_c, grads, add_cnt,
+        valid, rows: jnp.ndarray,
+    ) -> HotColdFMState:
+        """The stacked update as TWO drop-mode scatter-adds over the
+        split tables. ``rows`` is the step's shared pull_raw_split
+        output (positions [0, Ch) hot, [Ch, Ch+Cc) cold — static
+        slices, no repacking)."""
+        H = state.hot_rows
+        ch = uids_h.shape[0]
+        delta = self._stacked_delta(rows, grads, add_cnt, valid)
+        return HotColdFMState(
+            hot=state.hot.at[:, uids_h].add(delta[:, :ch], **_SKW),
+            cold=state.cold.at[:, uids_c - H].add(delta[:, ch:], **_SKW),
+        )
 
     # -- Get (reference: SGDUpdater::Get) -----------------------------------
 
@@ -418,8 +520,6 @@ class FMUpdater:
         ONE [D, U] scatter-add of masked deltas (see StackedFMState —
         scatter cost is per-index, so one index loop instead of six).
         ``rows``: the step's pull_raw result, when the caller shares it."""
-        p = self.param
-        k = p.V_dim
         if sorted_unique:
             if rows is None:
                 rows = state.tbl.at[:, uids].get(**_GKW)
@@ -429,6 +529,15 @@ class FMUpdater:
             if rows is None:
                 rows = state.tbl[:, uids]
             skw = {}
+        delta = self._stacked_delta(rows, grads, add_cnt, valid)
+        return StackedFMState(tbl=state.tbl.at[:, uids].add(delta, **skw))
+
+    def _stacked_delta(self, rows, grads, add_cnt, valid) -> jnp.ndarray:
+        """The [D, U] masked state delta for sublane-stacked layouts
+        (StackedFMState / HotColdFMState) from the pre-gathered rows —
+        identical math/masking to the planar update."""
+        p = self.param
+        k = p.V_dim
         w, z, n, cnt = rows[0], rows[1], rows[2], rows[3]
         g = grads[:, 0]
         upd_w = valid
@@ -479,8 +588,7 @@ class FMUpdater:
                 V_new = V - p.V_lr_eta * (gV + p.V_l2 * V)
             mV = active[None, :].astype(jnp.float32)
             parts += [mV * (V_new - V), mV * (nV_new - nV)]
-        delta = jnp.concatenate(parts, axis=0)
-        return StackedFMState(tbl=state.tbl.at[:, uids].add(delta, **skw))
+        return jnp.concatenate(parts, axis=0)
 
     def _update_packed(self, state, uids, grads, add_cnt, valid,
                        sorted_unique: bool = False):
@@ -553,6 +661,14 @@ class FMUpdater:
     def add_counts(self, state, idx: jnp.ndarray, amounts: jnp.ndarray):
         """state.cnt[idx] += amounts, either layout. idx must be in-range
         (clamped); amounts 0 for masked lanes."""
+        if isinstance(state, HotColdFMState):
+            H = state.hot_rows
+            return HotColdFMState(
+                # drop mode routes each index to its own table (idx >= H
+                # is OOB for hot; idx - H < 0 is OOB for cold)
+                hot=state.hot.at[3, idx].add(amounts, mode="drop"),
+                cold=state.cold.at[3, idx - H].add(amounts, mode="drop"),
+            )
         if isinstance(state, StackedFMState):
             return StackedFMState(
                 tbl=state.tbl.at[3, idx].add(amounts)
@@ -569,6 +685,20 @@ class FMUpdater:
     def stats(self, state) -> dict[str, jnp.ndarray]:
         """nnz(w) / active-V counts (the capacity observables the reference
         prints in Progress rows)."""
+        if isinstance(state, HotColdFMState):
+            # summed per table (a [N] concat would materialize copies)
+            out = {
+                "nnz_w": (jnp.sum(state.hot[0] != 0)
+                          + jnp.sum(state.cold[0] != 0)).astype(jnp.float32)
+            }
+            if self.param.V_dim > 0:
+                t = self.param.V_threshold
+                out["nnz_V"] = (
+                    jnp.sum(state.hot[3] >= t) + jnp.sum(state.cold[3] >= t)
+                ).astype(jnp.float32)
+            else:
+                out["nnz_V"] = jnp.zeros((), jnp.float32)
+            return out
         if isinstance(state, StackedFMState):
             w, cnt = state.tbl[0], state.tbl[3]
         elif isinstance(state, PackedFMState):

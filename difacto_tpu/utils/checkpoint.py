@@ -32,7 +32,8 @@ import numpy as np
 
 from ..data.io import is_remote, open_uri
 from ..updaters.updater import (
-    FMState, PackedFMState, StackedFMState, unpack_state, unstack_state,
+    FMState, HotColdFMState, PackedFMState, StackedFMState, unpack_state,
+    unstack_state,
 )
 
 FORMAT_VERSION = 1
@@ -120,28 +121,73 @@ def _fetch_np(arr, max_elems: int = 0) -> np.ndarray:
     return out
 
 
-def save(path_prefix: str, state, meta: dict | None = None) -> str:
+def _fetch_planar_host(state, remap_lut: np.ndarray | None) -> dict:
+    """Host planar leaf dict from any state layout, fetched ONE [N]
+    plane at a time: a jit(unstack) of a big stacked table would
+    materialize a full planar device copy NEXT TO the table (2^26:
+    10.7 + 9.7 GB > the 16 GB chip). HotColdFMState planes are
+    reassembled and un-permuted into canonical hash-row space
+    (``remap_lut`` = the run's data/remap.py lut) so checkpoints stay
+    layout/run-agnostic."""
+    if isinstance(state, FMState):
+        return {k: _fetch_np(getattr(state, k)) for k in _LEAVES}
+    k = state.k
+    n = state.num_rows
+
+    def plane(i: int) -> np.ndarray:
+        if isinstance(state, HotColdFMState):
+            full = np.concatenate(
+                [_fetch_np(state.hot[i]), _fetch_np(state.cold[i])]
+            )
+            # canonical row h lives at remapped label lut[h]
+            return full[remap_lut]
+        return _fetch_np(state.tbl[i])
+
+    if isinstance(state, HotColdFMState) and remap_lut is None:
+        raise ValueError(
+            "saving a hot/cold split state needs the run's remap lut "
+            "(pass remap_lut=store.hot_lut)"
+        )
+    out = {"w": plane(0), "z": plane(1), "n": plane(2), "cnt": plane(3)}
+    if k > 0:
+        out["V"] = np.stack([plane(4 + j) for j in range(k)])
+        out["nV"] = np.stack([plane(4 + k + j) for j in range(k)])
+    else:
+        out["V"] = np.zeros((0, n), np.float32)
+        out["nV"] = np.zeros((0, n), np.float32)
+    return out
+
+
+def save(
+    path_prefix: str, state, meta: dict | None = None,
+    remap_lut: np.ndarray | None = None,
+) -> str:
     if isinstance(state, PackedFMState):
         # checkpoints always use the FMState interchange layout, so a
         # model trained packed loads into any store/layout (and the
         # inspection tools keep working)
         state = jax.jit(unpack_state)(state)
-    elif isinstance(state, StackedFMState):
-        state = jax.jit(unstack_state)(state)
     if not is_remote(path_prefix):
         os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     full_meta = {"format_version": FORMAT_VERSION, **(meta or {})}
-    # global leaf shapes: lets topology-agnostic loads detect MISSING
-    # ranges (shape inference from whatever files exist would silently
-    # truncate when a top-range proc file is lost)
+    if jax.process_count() == 1:
+        host = _fetch_planar_host(state, remap_lut)
+        # global leaf shapes: lets topology-agnostic loads detect MISSING
+        # ranges (shape inference from whatever files exist would
+        # silently truncate when a top-range proc file is lost)
+        full_meta["shapes"] = {k: list(v.shape) for k, v in host.items()}
+        npz = path_prefix + ".npz"
+        _write_npz(npz, host)
+        _write_text(path_prefix + ".meta.json", json.dumps(full_meta, indent=1))
+        return npz
+    if isinstance(state, StackedFMState):
+        # multi-process tables are per-shard-sized; the planar interchange
+        # copy fits next to them (single-process big tables use the
+        # per-plane path above)
+        state = jax.jit(unstack_state)(state)
     full_meta["shapes"] = {
         k: list(getattr(state, k).shape) for k in _LEAVES
     }
-    if jax.process_count() == 1:
-        npz = path_prefix + ".npz"
-        _write_npz(npz, {k: _fetch_np(getattr(state, k)) for k in _LEAVES})
-        _write_text(path_prefix + ".meta.json", json.dumps(full_meta, indent=1))
-        return npz
     # multi-process: save addressable shards only (per-server semantics)
     pid = jax.process_index()
     payload: dict[str, np.ndarray] = {}
