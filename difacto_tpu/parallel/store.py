@@ -211,6 +211,16 @@ class LocalStore:
                     f"hot_rows {self.hot_rows} out of range for a "
                     f"{self.num_rows}-row table"
                 )
+        elif (
+            not (self.pallas or self.pairs)
+            and self.num_rows >= (1 << 24)
+            and jax.default_backend() == "tpu"
+        ):
+            log.info(
+                "big-table hint: hot_rows=-1 (frequency-split table) "
+                "measured ~1.8x training throughput at this scale "
+                "(BENCH.md round 5)"
+            )
         self.hot_lut = None  # set via set_remap() before prepped steps
         self.block_rows = min(cfg.shard.block_rows, self.num_rows)
         self.loss = cfg.learner.loss
