@@ -160,7 +160,8 @@ def bench_tpu() -> dict:
                 from difacto_tpu.data.prep import build_sorted_slots
 
                 pb.sorted_slots = build_sorted_slots(
-                    pb.inv, pb.vals, pb.uids.shape[0]
+                    pb.inv, pb.vals, pb.uids.shape[0],
+                    compact=bool(os.environ.get("BENCH_COMPACT")),
                 )
             return put(pb)
 

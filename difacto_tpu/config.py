@@ -90,6 +90,15 @@ class DataParam(ParamBase):
                                    # batches so later epochs read from HBM
                                    # (skips the host->device link; the
                                    # dataset's batches must fit on-chip)
+    cache_compact: bool = False    # segsum=sorted only: cache the sort
+                                   # PERMUTATION instead of the derived
+                                   # sorted arrays (x_sorted/bidx/
+                                   # inv_sorted) and regenerate them on
+                                   # device per step (~2 extra resident
+                                   # gathers). Cuts the cached-batch HBM
+                                   # footprint ~2x — set it when a big
+                                   # table + cache_on_device must share
+                                   # one chip (2^26 + 6M rows fits)
     seed: int = 0
 
     def validate(self) -> None:
@@ -248,6 +257,16 @@ class Config:
     def check(self) -> None:
         """Cross-param consistency (reference: difacto.cc fails fast on
         inconsistent kwargs before the learner starts)."""
+        if self.shard.hot_rows and self.learner.learner != "sgd":
+            raise ValueError(
+                "hot_rows (frequency-split table) is an SGD/LocalStore "
+                "feature; BCD keeps its own block-tiled layout"
+            )
+        if self.shard.hot_rows and not self.data.host_localize:
+            raise ValueError(
+                "hot_rows needs host_localize=1 (the remap and the "
+                "hot/cold bucket split are host-side prep work)"
+            )
         if self.shard.segsum not in ("auto", "sorted", "scatter"):
             raise ValueError(
                 f"segsum must be auto|sorted|scatter, got {self.shard.segsum!r}"

@@ -306,11 +306,19 @@ class SortedSlots:
     The permutation is a stable argsort of ``inv`` — host work the
     reference also did on worker CPUs (its Localizer sorts the batch's
     keys anyway); it runs in the prep/prefetch workers, overlapped with
-    device steps."""
+    device steps.
 
-    x_sorted: np.ndarray    # f32 [BLp] vals in sorted-slot order
-    bidx: np.ndarray        # i32 [BLp] example index per sorted slot
-    inv_sorted: np.ndarray  # i32 [BLp] monotone unique lanes
+    COMPACT form (``compact=True``): x_sorted/bidx/inv_sorted are None
+    and only ``slot_sorted`` (+ the seg schedule) ships — they are pure
+    derivations of (vals, inv, slot_sorted), so the store regenerates
+    them on device from RESIDENT cached arrays (~2 device gathers/step).
+    Cuts the device-cached batch footprint ~7.7 MB -> ~2.6 MB of sorted
+    arrays per flagship batch — what lets a 2^26 table coexist with a
+    6M-row device-resident batch cache on one 16 GB chip."""
+
+    x_sorted: np.ndarray | None    # f32 [BLp] vals in sorted-slot order
+    bidx: np.ndarray | None        # i32 [BLp] example index per sorted slot
+    inv_sorted: np.ndarray | None  # i32 [BLp] monotone unique lanes
     # flat ops.segsum schedule arrays (flat so utils/place.py's one-level
     # nested-dataclass placement device-puts them with the batch)
     seg_tiles: np.ndarray   # i32 [P]
@@ -325,24 +333,39 @@ class SortedSlots:
 
 
 def build_sorted_slots(
-    inv: np.ndarray, vals: np.ndarray, ub: int, with_slots: bool = False
+    inv: np.ndarray, vals: np.ndarray, ub: int, with_slots: bool = False,
+    compact: bool = False,
 ) -> SortedSlots:
-    """SortedSlots for one prepped batch (``inv`` [B*L], ``vals`` [B, L])."""
+    """SortedSlots for one prepped batch (``inv`` [B*L], ``vals`` [B, L]).
+
+    ``compact``: ship only the permutation + schedule (see SortedSlots —
+    the store derives the sorted arrays on device). Pad slots of the
+    device-derived stream carry lane inv[slot_sorted[pad]] = inv[0]
+    instead of the monotone repeat-last — harmless: the segsum schedule
+    is built HERE from the true monotone stream, pad payloads are zero,
+    and a zero added to any scheduled window (or matched by no window)
+    changes nothing."""
     from ..ops.segsum import build_seg_meta, pad_sorted_stream
 
     L = vals.shape[1]
     perm = np.argsort(inv, kind="stable")
     inv_s = pad_sorted_stream(inv[perm].astype(np.int32, copy=False))
     blp, bl = inv_s.shape[0], perm.shape[0]
+    m = build_seg_meta(inv_s, ub)
+    slot_s = None
+    if with_slots or compact:
+        slot_s = np.zeros(blp, np.int32)
+        slot_s[:bl] = perm.astype(np.int32)
+    if compact:
+        return SortedSlots(
+            x_sorted=None, bidx=None, inv_sorted=None,
+            seg_tiles=m.tiles, seg_wins=m.wins, seg_first=m.first,
+            slot_sorted=slot_s,
+        )
     x = np.zeros(blp, np.float32)
     x[:bl] = vals.reshape(-1)[perm]
     bidx = np.zeros(blp, np.int32)
     bidx[:bl] = (perm // L).astype(np.int32)
-    slot_s = None
-    if with_slots:
-        slot_s = np.zeros(blp, np.int32)
-        slot_s[:bl] = perm.astype(np.int32)
-    m = build_seg_meta(inv_s, ub)
     return SortedSlots(
         x_sorted=x, bidx=bidx, inv_sorted=inv_s,
         seg_tiles=m.tiles, seg_wins=m.wins, seg_first=m.first,

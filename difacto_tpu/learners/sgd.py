@@ -279,6 +279,8 @@ class SGDLearner:
                     # the sorted-slot arrays in the prep workers too
                     from ..data.prep import build_sorted_slots
 
+                    compact = self.cfg.data.cache_compact
+
                     def fn(b):
                         pb = prep_batch(
                             b, num_rows, min_ub=min_ub, num_fields=nf,
@@ -286,7 +288,7 @@ class SGDLearner:
                         )
                         pb.sorted_slots = build_sorted_slots(
                             pb.inv, pb.vals, pb.uids.shape[0],
-                            with_slots=want_slots,
+                            with_slots=want_slots, compact=compact,
                         )
                         return pb
                 else:

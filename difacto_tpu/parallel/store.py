@@ -534,7 +534,21 @@ class LocalStore:
         update — the same aggregation the pairs path rides, which is
         table-size independent and replaces the step's largest XLA term
         (the [B*L] -> [U] scatter-add; BENCH.md r4). ffm rides it too,
-        with the direct per-slot payload gather (``slot_s``)."""
+        with the direct per-slot payload gather (``slot_s``).
+
+        COMPACT batches (x_s is None): the sorted arrays are derived
+        here from the resident cached (vals, inv, slot_s) — two [BLp]
+        gathers from resident inputs (~1 ms each; the r4 composition
+        pathology applies to JUST-COMPUTED sources, not cached ones).
+        Device-derived pad lanes are inv[0] instead of the monotone
+        repeat-last — safe, see data/prep.py::build_sorted_slots."""
+        if x_s is None:
+            B, L = vals.shape
+            blp = slot_s.shape[0]
+            real = jnp.arange(blp) < B * L
+            x_s = jnp.where(real, vals.reshape(-1)[slot_s], 0.0)
+            bidx = slot_s // L
+            inv_s = inv[slot_s]
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         raw = None
         if uids_h is not None:
@@ -594,7 +608,8 @@ class LocalStore:
 
     def _sorted_slots(self, pb):
         """Host sorted-slot arrays (built in the prep workers when the
-        learner attached them; rebuilt here otherwise)."""
+        learner attached them; rebuilt here otherwise — compact when the
+        config asks, see DataParam.cache_compact)."""
         ss = getattr(pb, "sorted_slots", None)
         want_slots = self.loss == "ffm"
         if ss is None or (want_slots and ss.slot_sorted is None):
@@ -603,6 +618,7 @@ class LocalStore:
             ss = build_sorted_slots(
                 np.asarray(pb.inv), np.asarray(pb.vals), pb.uids.shape[0],
                 with_slots=want_slots,
+                compact=self.cfg.data.cache_compact,
             )
             pb.sorted_slots = ss  # cached/replayed batches reuse it
         return ss
@@ -744,9 +760,18 @@ class LocalStore:
         pull pairs -> [B, L] forward -> SORTED-slot backward ->
         ops/segsum.py tile-matmul per-key sums (planar, already the
         apply payload layout) -> apply pairs. ffm rides it too, with the
-        direct per-slot payload gather (``slot_s``)."""
+        direct per-slot payload gather (``slot_s``). Compact batches
+        (x_s None) derive the sorted arrays on device — see
+        _prepped_step_sorted."""
         from ..ops.pair_sweep import apply_pairs, pull_pairs
 
+        if x_s is None:
+            B, L = vals.shape
+            blp = slot_s.shape[0]
+            real = jnp.arange(blp) < B * L
+            x_s = jnp.where(real, vals.reshape(-1)[slot_s], 0.0)
+            bidx = slot_s // L
+            inv_s = inv[slot_s]
         loc = Localized(uids=uids, inv=inv, counts=ucounts, valid=valid)
         rows_p = pull_pairs(
             state, uids, (blocks, wins, first, wfirst), self.updater.param,

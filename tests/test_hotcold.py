@@ -201,6 +201,45 @@ def test_split_with_sorted_segsum_backward():
     )
 
 
+def test_compact_cache_matches_full():
+    """cache_compact=1 derives x_sorted/bidx/inv_sorted on device from
+    (vals, inv, slot_s) — same training as the host-built arrays, on the
+    hot/cold + sorted-segsum production path."""
+    from difacto_tpu.data.prep import build_sorted_slots
+
+    batches, lut = _lut()
+    host = _host_state()
+    cfg_a = _cfg(H, segsum="sorted")
+    a = LocalStore(FMUpdater(cfg_a.model), cfg_a)
+    a.set_remap(lut)
+    sa = a.place_state(host)
+    cfg_b = _cfg(H, segsum="sorted", cache_compact=1)
+    b = LocalStore(FMUpdater(cfg_b.model), cfg_b)
+    b.set_remap(lut)
+    sb = b.place_state(host)
+    for bt in batches[:3]:
+        pa = prep_batch(bt, N, remap=lut, hot_rows=H)
+        pb = prep_batch(bt, N, remap=lut, hot_rows=H)
+        pa.sorted_slots = build_sorted_slots(
+            pa.inv, pa.vals, pa.uids.shape[0]
+        )
+        pb.sorted_slots = build_sorted_slots(
+            pb.inv, pb.vals, pb.uids.shape[0], compact=True
+        )
+        assert pb.sorted_slots.x_sorted is None
+        sa, ma = a.train_step_prepped(sa, pa)
+        sb, mb = b.train_step_prepped(sb, pb)
+        np.testing.assert_allclose(
+            float(ma.logloss_sum), float(mb.logloss_sum), rtol=1e-6
+        )
+    hb = _batch(99)
+    _, py1 = a.eval_step_prepped(sa, prep_batch(hb, N, remap=lut, hot_rows=H))
+    _, py2 = b.eval_step_prepped(sb, prep_batch(hb, N, remap=lut, hot_rows=H))
+    np.testing.assert_allclose(
+        np.asarray(py1), np.asarray(py2), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_hot_rows_config_guards():
     with pytest.raises(ValueError, match="kernel=xla"):
         LocalStore(FMUpdater(_cfg(0).model), _cfg(H, kernel="pairs"))
