@@ -229,8 +229,14 @@ class ShardParam(ParamBase):
                                    # scripts/hw_scatter_cliff.py).
                                    # 0 = off, -1 = auto-size to the
                                    # fast-scatter budget
-    hot_count_batches: int = 64    # batches sampled for the frequency
-                                   # remap's count pass (hot_rows != 0)
+    hot_count_batches: int = 16    # batches sampled for the frequency
+                                   # remap's count pass (hot_rows != 0).
+                                   # Measured: 8 flagship batches already
+                                   # put 64.6% of a held-out batch's
+                                   # uniques in the head (vs ~68% from a
+                                   # big sample) — the sample is a cold
+                                   # first read of the shards, so small
+                                   # is fast (BENCH.md round 5b)
     # (round 3: the opt-in "sorted" slot pipeline was REMOVED — measured
     # 112.8 ms/step vs the prepped pair path's 23.1 at flagship shapes,
     # with no winning regime; see BENCH.md "Sorted pipeline" history)
