@@ -41,47 +41,46 @@ def main() -> int:
     N = 1 << NB
     rng = np.random.default_rng(0)
 
-    for K in (1, 16, 64, 256):
+    def step(tabs, idxs, deltas):
+        return tuple(
+            t.at[:, i].add(d, **skw)
+            for t, i, d in zip(tabs, idxs, deltas)
+        )
+
+    def gstep(tabs, idxs):
+        return tuple(t.at[:, i].get(**gkw) for t, i in zip(tabs, idxs))
+
+    for K in (16, 64, 256, 1):
         rows = N // K
         cap = U_TOTAL // K
-        idxs = [
+        # args, not closure constants (256 embedded constants bloat the
+        # graph); prior iterations' tables must be freed before mk()
+        idxs = tuple(
             jax.device_put(np.sort(
                 rng.choice(rows, cap, replace=False)).astype(np.int32))
             for _ in range(K)
-        ]
-        deltas = [jax.device_put(np.ones((D, cap), np.float32))
-                  for _ in range(K)]
+        )
+        deltas = tuple(jax.device_put(np.ones((D, cap), np.float32))
+                       for _ in range(K))
         mk = jax.jit(lambda K=K, rows=rows: tuple(
             jnp.zeros((D, rows), jnp.float32) for _ in range(K)))
 
-        def step(tabs, idxs=idxs, deltas=deltas):
-            return tuple(
-                t.at[:, i].add(d, **skw)
-                for t, i, d in zip(tabs, idxs, deltas)
-            )
-
         pj = jax.jit(step, donate_argnums=0)
         t0 = time.perf_counter()
-        s = pj(mk())
+        s = pj(mk(), idxs, deltas)
         float(s[0][0, 0])
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(20):
-            s = pj(s)
+            s = pj(s, idxs, deltas)
         float(s[0][0, 0])
         t = (time.perf_counter() - t0) / 20 * 1e3
-        # gather side: one fused fn gathering from all K tables
-        def gstep(tabs, idxs=idxs):
-            return tuple(
-                t.at[:, i].get(**gkw) for t, i in zip(tabs, idxs)
-            )
-
         gj = jax.jit(gstep)
-        r = gj(s)
+        r = gj(s, idxs)
         float(r[0][0, 0])
         t0 = time.perf_counter()
         for _ in range(20):
-            r = gj(s)
+            r = gj(s, idxs)
         float(r[0][0, 0])
         tg = (time.perf_counter() - t0) / 20 * 1e3
         print(
@@ -90,6 +89,7 @@ def main() -> int:
             f"compile {compile_s:5.1f}s",
             flush=True,
         )
+        del s, r, idxs, deltas
     return 0
 
 
