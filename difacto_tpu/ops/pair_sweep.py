@@ -217,6 +217,77 @@ def build_pair_meta(
     )
 
 
+@dataclass
+class DualPairMeta:
+    """Two-windows-per-grid-step apply schedule: each block run's pairs
+    are grouped two at a time (odd runs padded with the all-sentinel
+    window), so the grid shrinks toward ceil(P/2) while per-step select
+    work doubles. Pays when the per-grid-step cost is fixed machinery
+    rather than select compute (the flagship regime: ~1.3 us/step vs a
+    ~1 us dense-grid floor, BENCH.md roofline)."""
+
+    blocks: np.ndarray  # i32 [P2] table block per grid step
+    wins_a: np.ndarray  # i32 [P2] first unique window
+    wins_b: np.ndarray  # i32 [P2] second window (sentinel when padded)
+    first: np.ndarray   # i32 [P2] 1 = first step of a block run
+    block_rows: int
+
+
+def build_dual_apply_meta(
+    uids: np.ndarray,
+    num_rows: int,
+    block_rows: int,
+    buckets=PAIR_BUCKETS,
+) -> DualPairMeta:
+    """Dual-window apply schedule from ONE sorted unique stream (the
+    LocalStore prepped path). Derived from the same raw touched-pair
+    discovery as build_pair_meta(order='block'); a single sorted segment
+    is block-monotonic, so each block's windows are consecutive and
+    pairing them two-at-a-time preserves the accumulate-until-flush
+    contract."""
+    uids = np.asarray(uids)
+    ub = uids.shape[0]
+    sent_win = ub // W
+    blocks, wins, _ = _pairs_raw(uids, num_rows, block_rows, ub)
+    if blocks.shape[0] == 0:
+        p = _bucket(1, buckets)
+        return DualPairMeta(
+            blocks=np.zeros(p, np.int32),
+            wins_a=np.full(p, sent_win, np.int32),
+            wins_b=np.full(p, sent_win, np.int32),
+            first=(np.arange(p) == 0).astype(np.int32),
+            block_rows=block_rows,
+        )
+    # group each block run's windows two per step (vectorized: global
+    # pair index within its run -> step = run_start_steps + within//2)
+    first = np.ones(len(blocks), bool)
+    first[1:] = blocks[1:] != blocks[:-1]
+    run_id = np.cumsum(first) - 1
+    run_start = np.flatnonzero(first)
+    within = np.arange(len(blocks)) - run_start[run_id]
+    run_len = np.diff(np.append(run_start, len(blocks)))
+    steps_per_run = (run_len + 1) // 2
+    run_step0 = np.cumsum(steps_per_run) - steps_per_run
+    step = run_step0[run_id] + within // 2
+    n_steps = int(steps_per_run.sum())
+    b2 = np.empty(n_steps, np.int32)
+    wa = np.full(n_steps, sent_win, np.int32)
+    wb = np.full(n_steps, sent_win, np.int32)
+    even = within % 2 == 0
+    b2[step] = blocks
+    wa[step[even]] = wins[even]
+    wb[step[~even]] = wins[~even]
+    p = _bucket(n_steps, buckets)
+    b2 = np.concatenate([b2, np.full(p - n_steps, b2[-1], np.int32)])
+    wa = np.concatenate([wa, np.full(p - n_steps, sent_win, np.int32)])
+    wb = np.concatenate([wb, np.full(p - n_steps, sent_win, np.int32)])
+    f2 = np.ones(p, np.int32)
+    f2[1:] = b2[1:] != b2[:-1]
+    return DualPairMeta(
+        blocks=b2, wins_a=wa, wins_b=wb, first=f2, block_rows=block_rows
+    )
+
+
 def _uids2d(uids: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     """[U] sorted ids -> [8, U+W] replicated, all-sentinel extra window."""
     up = jnp.concatenate(
@@ -428,6 +499,125 @@ def apply_pairs(
         input_output_aliases=aliases,
         interpret=interpret,
     )(blocks, wins, first, *args)
+    if k > 0:
+        w, z, nn, cnt, v, nv = outs
+    else:
+        w, z, nn, cnt = outs
+        v, nv = state.V, state.nV
+    return FMState(w=w, z=z, n=nn, V=v, nV=nv, cnt=cnt)
+
+
+def _apply_pairs2_kernel(
+    blocks_ref, winsa_ref, winsb_ref, first_ref,
+    uidwa_ref, uidwb_ref, paya_ref, payb_ref, *refs,
+    block_rows: int, k: int, p: FMParam, n_steps: int,
+):
+    """apply_pairs with TWO unique windows per grid step (see
+    DualPairMeta): two selects + two matmuls feed one accumulate, the
+    flush/update logic is unchanged. Sentinel (pad) windows match no
+    row — their contribution is exactly zero."""
+    if k > 0:
+        (w_ref, z_ref, n_ref, cnt_ref, v_ref, nv_ref,
+         w_o, z_o, n_o, cnt_o, v_o, nv_o, acc_ref) = refs
+    else:
+        (w_ref, z_ref, n_ref, cnt_ref,
+         w_o, z_o, n_o, cnt_o, acc_ref) = refs
+    i = pl.program_id(0)
+    base = blocks_ref[i] * block_rows
+    dn = (((1,), (1,)), ((), ()))
+    contrib = jax.lax.dot_general(
+        paya_ref[:], _selT(uidwa_ref, base, block_rows),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jax.lax.dot_general(
+        payb_ref[:], _selT(uidwb_ref, base, block_rows),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [pp, R]
+    fst = first_ref[i] == 1
+    acc_ref[:] = jnp.where(fst, contrib, acc_ref[:] + contrib)
+    nxt = blocks_ref[jnp.minimum(i + 1, n_steps - 1)]
+    is_last = (i == n_steps - 1) | (nxt != blocks_ref[i])
+    acc = acc_ref[:]
+    v = v_ref[:] if k > 0 else None
+    nv = nv_ref[:] if k > 0 else None
+    w_n, z_n, n_n, cnt_n, v_n, nv_n = fused_table_update(
+        acc, w_ref[:], z_ref[:], n_ref[:], cnt_ref[:], v, nv, p, k
+    )
+    touched = acc[2 + k] > 0.0
+
+    def wr(o_ref, in_vals, new_vals, bmask):
+        o_ref[:] = jnp.where(is_last & bmask, new_vals, in_vals)
+
+    wr(w_o, w_ref[:], w_n, touched)
+    wr(z_o, z_ref[:], z_n, touched)
+    wr(n_o, n_ref[:], n_n, touched)
+    wr(cnt_o, cnt_ref[:], cnt_n, touched)
+    if k > 0:
+        wr(v_o, v_ref[:], v_n, touched[None, :])
+        wr(nv_o, nv_ref[:], nv_n, touched[None, :])
+
+
+def apply_pairs2(
+    state: FMState,
+    uids: jnp.ndarray,      # i32 [U] sorted unique ids (sentinel = N pad)
+    payload: jnp.ndarray,   # f32 [3+K, U] planar: gw | gV | add_cnt | touch
+    meta_dev: tuple,        # (blocks, wins_a, wins_b, first) on device
+    param: FMParam,
+    *,
+    block_rows: int,
+    interpret: bool = False,
+) -> FMState:
+    """apply_pairs with the DualPairMeta two-windows-per-step grid."""
+    n, k = state.num_rows, state.k
+    assert n % block_rows == 0
+    u = uids.shape[0]
+    assert u % W == 0
+    blocks, wins_a, wins_b, first = meta_dev
+    pp = _pad8(3 + k)
+    uw = _uids2d(uids, n)
+    pay = jnp.pad(payload, ((0, pp - (3 + k)), (0, W)))
+
+    kern = functools.partial(
+        _apply_pairs2_kernel, block_rows=block_rows, k=k, p=param,
+        n_steps=blocks.shape[0],
+    )
+    bspec1 = pl.BlockSpec((block_rows,), lambda i, b, wa, wb, f: (b[i],))
+    bspeck = pl.BlockSpec((k, block_rows), lambda i, b, wa, wb, f: (0, b[i]))
+    in_specs = [
+        pl.BlockSpec((8, W), lambda i, b, wa, wb, f: (0, wa[i])),   # uids A
+        pl.BlockSpec((8, W), lambda i, b, wa, wb, f: (0, wb[i])),   # uids B
+        pl.BlockSpec((pp, W), lambda i, b, wa, wb, f: (0, wa[i])),  # pay A
+        pl.BlockSpec((pp, W), lambda i, b, wa, wb, f: (0, wb[i])),  # pay B
+        bspec1, bspec1, bspec1, bspec1,
+    ]
+    args = [uw, uw, pay, pay, state.w, state.z, state.n, state.cnt]
+    out_specs = [bspec1, bspec1, bspec1, bspec1]
+    shapes = [jax.ShapeDtypeStruct((n,), jnp.float32)] * 4
+    # alias arg index -> output index (scalar-prefetch args count: 4)
+    aliases = {8: 0, 9: 1, 10: 2, 11: 3}
+    if k > 0:
+        in_specs += [bspeck, bspeck]
+        args += [state.V, state.nV]
+        out_specs += [bspeck, bspeck]
+        shapes += [jax.ShapeDtypeStruct((k, n), jnp.float32)] * 2
+        aliases.update({12: 4, 13: 5})
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(blocks.shape[0],),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((pp, block_rows), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(shapes),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(blocks, wins_a, wins_b, first, *args)
     if k > 0:
         w, z, nn, cnt, v, nv = outs
     else:

@@ -173,6 +173,115 @@ def test_pair_sweep_dense_block():
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+def test_dual_apply_meta_invariants():
+    from difacto_tpu.ops.pair_sweep import build_dual_apply_meta
+
+    rng = np.random.default_rng(11)
+    N, block_rows = 8192, 512
+    for trial in range(4):
+        n_valid = int(rng.integers(1, 600))
+        u = 768
+        raw = np.sort(rng.choice(N, size=n_valid, replace=False))
+        uids = np.full(u, N, np.int32)
+        uids[:n_valid] = raw
+        m = build_dual_apply_meta(uids, N, block_rows)
+        sent = u // W
+        # every valid lane's (block, window) pair appears exactly once
+        # across the A and B slots
+        want = {
+            (int(uids[j]) // block_rows, j // W) for j in range(n_valid)
+        }
+        got = []
+        for b, wa, wb in zip(m.blocks, m.wins_a, m.wins_b):
+            if wa != sent:
+                got.append((int(b), int(wa)))
+            if wb != sent:
+                got.append((int(b), int(wb)))
+        assert len(got) == len(set(got)), "duplicate pair"
+        assert set(got) == want
+        # block runs contiguous + first flags
+        for i in range(len(m.blocks)):
+            assert m.first[i] == int(
+                i == 0 or m.blocks[i] != m.blocks[i - 1]
+            )
+        # ~half the grid of the single-window schedule (padded runs)
+        m1 = build_pair_meta(uids, N, block_rows)
+        real1 = int((m1.wins != sent).sum())
+        real2 = len(got)
+        assert real2 == real1
+
+
+@pytest.mark.parametrize("K,wupd", [(4, "ftrl"), (0, "ftrl"), (4, "adagrad")])
+def test_dual_apply_matches_reference(K, wupd):
+    from difacto_tpu.ops.pair_sweep import apply_pairs2, build_dual_apply_meta
+
+    p, upd, state, uids_np, grads, addc, valid = _setup(K, w_updater=wupd)
+    N = state.num_rows
+    m = build_dual_apply_meta(uids_np, N, 512)
+    mdev = (m.blocks, m.wins_a, m.wins_b, m.first)
+    uids = jnp.asarray(uids_np)
+    vf = valid.astype(jnp.float32)
+    payload = jnp.concatenate(
+        [
+            jnp.where(valid[None, :], grads.T, 0.0),
+            (addc * vf)[None, :],
+            vf[None, :],
+        ],
+        axis=0,
+    )
+    s_ref = upd.update(state, uids, grads, addc, valid)
+    s_pal = apply_pairs2(
+        state, uids, payload, mdev, p, block_rows=512, interpret=True
+    )
+    for name in ("w", "z", "n", "cnt", "V", "nV"):
+        a, b = np.asarray(getattr(s_ref, name)), np.asarray(getattr(s_pal, name))
+        if a.size:
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_dual_apply_dense_block():
+    """Multi-window block runs (odd AND even lengths) accumulate across
+    dual steps before the single fused commit."""
+    from difacto_tpu.ops.pair_sweep import apply_pairs2, build_dual_apply_meta
+
+    K, N = 2, 1024
+    p = FMParam()
+    p.V_dim = K
+    p.V_threshold = 0
+    p.lr_eta = 0.1
+    upd = FMUpdater(p)
+    state = upd.init_state(N, seed=3)
+    rng = np.random.default_rng(4)
+    raw = np.sort(
+        np.concatenate(
+            [
+                rng.choice(512, size=300, replace=False),  # 3 windows
+                512 + rng.choice(128, size=80, replace=False),
+            ]
+        )
+    ).astype(np.int32)
+    u = 384
+    uids_np = np.full(u, N, np.int32)
+    uids_np[: len(raw)] = raw
+    valid = jnp.asarray(np.arange(u) < len(raw))
+    uids = jnp.asarray(uids_np)
+    grads = jnp.asarray(rng.normal(size=(u, 1 + K)).astype(np.float32))
+    addc = jnp.ones(u, jnp.float32)
+    m = build_dual_apply_meta(uids_np, N, 512)
+    mdev = (m.blocks, m.wins_a, m.wins_b, m.first)
+    vf = valid.astype(jnp.float32)
+    payload = jnp.concatenate(
+        [jnp.where(valid[None, :], grads.T, 0.0), (addc * vf)[None, :], vf[None, :]],
+        axis=0,
+    )
+    s_ref = upd.update(state, uids, grads, addc, valid)
+    s_pal = apply_pairs2(state, uids, payload, mdev, p, block_rows=512,
+                         interpret=True)
+    for name in ("w", "z", "n", "cnt", "V", "nV"):
+        a, b = np.asarray(getattr(s_ref, name)), np.asarray(getattr(s_pal, name))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
 def test_localstore_pairs_end_to_end():
     """kernel=pairs (interpret) trains bit-close to the XLA prepped path,
     multi-step, including eval scores."""
