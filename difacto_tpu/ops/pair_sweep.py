@@ -222,9 +222,11 @@ class DualPairMeta:
     """Two-windows-per-grid-step apply schedule: each block run's pairs
     are grouped two at a time (odd runs padded with the all-sentinel
     window), so the grid shrinks toward ceil(P/2) while per-step select
-    work doubles. Pays when the per-grid-step cost is fixed machinery
-    rather than select compute (the flagship regime: ~1.3 us/step vs a
-    ~1 us dense-grid floor, BENCH.md roofline)."""
+    work doubles. Measured at the flagship (scripts/hw_apply2.py,
+    BENCH.md round 5b): 7.89 ms vs the single-window 7.04 — a 12%
+    REGRESSION, so the production path keeps one window per step (the
+    ~1.3 us/step is work-bound, not machinery). Kept as the recorded
+    experiment; a dense many-windows-per-block regime could differ."""
 
     blocks: np.ndarray  # i32 [P2] table block per grid step
     wins_a: np.ndarray  # i32 [P2] first unique window

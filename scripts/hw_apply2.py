@@ -70,12 +70,13 @@ def main() -> int:
     )
 
     def timeit(fn, iters=30):
-        s = fn(state)
+        s = fn(upd.init_state(N, seed=1))  # donated: fresh state per run
         float(s.w[0])
         t0 = time.perf_counter()
         for _ in range(iters):
             s = fn(s)
         float(s.w[0])
+        del s
         return (time.perf_counter() - t0) / iters * 1e3
 
     d1 = jax.device_put((m1.blocks, m1.wins, m1.first, m1.wfirst))
