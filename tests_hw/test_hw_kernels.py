@@ -88,3 +88,122 @@ def test_hw_pairs_train_step_matches_xla(tpu):
             getattr(s_pairs, name))
         if a.size:
             np.testing.assert_allclose(a, b, atol=2e-4, err_msg=name)
+
+
+def test_hw_hot_split_matches_stacked(tpu):
+    """The hot/cold frequency-split path (round 5b: the 2^26 production
+    regime) vs the single stacked table on the real chip: one train
+    step from an identical start, canonical state compared on 512
+    sampled rows + permutation-invariant sums; prints both ms/step so
+    the ~1.8x is visible in the gate output.
+
+    Tunnel discipline (CLAUDE.md): NO multi-GB transfers — V starts at
+    a CONSTANT (set on device; any layout permutation of a constant is
+    the constant), and the comparison fetches only [36, 512] sampled
+    rows plus a handful of scalars."""
+    import jax
+    import jax.numpy as jnp
+
+    from difacto_tpu.config import Config
+    from difacto_tpu.data.batch_iter import Batch
+    from difacto_tpu.data.prep import prep_batch
+    from difacto_tpu.data.remap import build_remap, count_sample
+    from difacto_tpu.parallel.store import LocalStore
+    from difacto_tpu.updaters.updater import (
+        FMUpdater, HotColdFMState, StackedFMState,
+    )
+
+    B, L, num_bits, K, H = 16384, 40, 24, 16, 1 << 18
+    N = 1 << num_bits
+    rng = np.random.default_rng(11)
+    z = rng.zipf(1.2, size=(B, L)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        ids = ((z * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(N)).astype(
+            np.int32
+        )
+    ids[rng.random((B, L)) < 0.08] = -1
+    batch = Batch(
+        ids,
+        np.where(ids >= 0, 1.0, 0.0).astype(np.float32),
+        (rng.random(B) > 0.5).astype(np.float32),
+        np.ones(B, np.float32),
+    )
+    lut = build_remap(count_sample(iter([batch]), N, 1), H)
+    # sample touched AND untouched canonical rows for the digest
+    touched = np.unique(ids[ids >= 0])
+    sample = np.concatenate([
+        rng.choice(touched, 384, replace=False),
+        rng.choice(N, 128, replace=False),
+    ]).astype(np.int64)
+
+    def run(hot):
+        cfg = Config.from_kwargs([
+            ("batch_size", str(B)), ("num_bits", str(num_bits)),
+            ("max_nnz_per_row", str(L)), ("V_dim", str(K)),
+            ("store", "local"), ("kernel", "xla"),
+            ("hot_rows", str(hot)), ("V_init_scale", "0.01"),
+        ])
+        st = LocalStore(FMUpdater(cfg.model), cfg)
+        from difacto_tpu.utils.place import place_batch
+
+        if hot:
+            st.set_remap(lut)
+            pb = prep_batch(batch, N, remap=lut, hot_rows=hot)
+        else:
+            pb = prep_batch(batch, N)
+        pb = place_batch(pb)  # device-resident, like the production cache
+        # (unplaced, each step re-ships ~13 MB over the ~60 MB/s tunnel
+        # and the printed ms/step measures the link, not the chip)
+        state = st.init_state(seed=3)
+        setv = jax.jit(lambda t: t.at[4 : 4 + K].set(0.01),
+                       donate_argnums=0)
+        if hot:
+            state = HotColdFMState(hot=setv(state.hot),
+                                   cold=setv(state.cold))
+        else:
+            state = StackedFMState(tbl=setv(state.tbl))
+        state, _ = st.train_step_prepped(state, pb)  # compile
+        tb0 = state.hot if hot else state.tbl
+        float(tb0[0, 0])
+        t0 = time.time()
+        state, _ = st.train_step_prepped(state, pb)
+        tb0 = state.hot if hot else state.tbl
+        float(tb0[0, 0])
+        dt = time.time() - t0
+        # canonical digest: sampled rows + permutation-invariant sums
+        if hot:
+            pos = lut[sample]
+            rows = np.where(
+                (pos < H)[None, :],
+                np.asarray(jax.jit(
+                    lambda t: t[:, jnp.where(pos < H, pos, 0)]
+                )(state.hot)),
+                np.asarray(jax.jit(
+                    lambda t: t[:, jnp.where(pos >= H, pos - H, 0)]
+                )(state.cold)),
+            )
+            # positive-definite digests: a signed sum over 16M f32 rows
+            # cancels toward zero, where any associativity difference
+            # (hot+cold vs one table) breaks a relative tolerance
+            sums = [
+                float(jnp.sum(jnp.abs(state.hot[i]))
+                      + jnp.sum(jnp.abs(state.cold[i])))
+                for i in (0, 2, 3)
+            ]
+        else:
+            # the stacked run preps WITHOUT remap: canonical row h is
+            # simply column h
+            rows = np.asarray(
+                jax.jit(lambda t: t[:, sample])(state.tbl)
+            )
+            sums = [
+                float(jnp.sum(jnp.abs(state.tbl[i]))) for i in (0, 2, 3)
+            ]
+        return rows, sums, dt
+
+    r0, sums0, t0 = run(0)
+    r1, sums1, t1 = run(H)
+    print(f"hw hot-split smoke (2^24): stacked {t0*1e3:.1f} ms/step, "
+          f"hot/cold {t1*1e3:.1f} ms/step")
+    np.testing.assert_allclose(r0, r1, atol=2e-4)
+    np.testing.assert_allclose(sums0, sums1, rtol=1e-4)
