@@ -205,5 +205,8 @@ def test_hw_hot_split_matches_stacked(tpu):
     r1, sums1, t1 = run(H)
     print(f"hw hot-split smoke (2^24): stacked {t0*1e3:.1f} ms/step, "
           f"hot/cold {t1*1e3:.1f} ms/step")
-    np.testing.assert_allclose(r0, r1, atol=2e-4)
+    # rtol covers the big accumulator planes (n sums g^2 into ~1e4-size
+    # values; the two lane numberings tile the segsum differently, so
+    # per-key f32 association differs by ~ulp — measured max rel 2.6e-7)
+    np.testing.assert_allclose(r0, r1, rtol=1e-5, atol=2e-4)
     np.testing.assert_allclose(sums0, sums1, rtol=1e-4)
