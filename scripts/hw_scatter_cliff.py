@@ -115,17 +115,21 @@ def main() -> int:
         U = min(UBIG, Ng // 2)
         uids = jax.device_put(
             np.sort(rng.choice(Ng, U, replace=False)).astype(np.int32))
+        # src as an ARGUMENT: a closure-captured device array becomes a
+        # jit constant, whose lowering fetches it to host — a 9.66 GB
+        # d2h at 2^26 (this OOM'd the first run of this script)
         src = jax.device_put(np.ones((D, Ng), np.float32))
-        pg = jax.jit(lambda i: src.at[:, i].get(**gkw))
-        r = pg(uids)
+        pg = jax.jit(lambda s, i: s.at[:, i].get(**gkw))
+        r = pg(src, uids)
         float(r[0, 0])
         t0 = time.perf_counter()
         for _ in range(20):
-            r = pg(uids)
+            r = pg(src, uids)
         float(r[0, 0])
         t = (time.perf_counter() - t0) / 20 * 1e3
         print(f"  N=2^{bits:<2d} U={U:6d}: {t:7.2f} ms  "
               f"{t * 1e6 / U:7.1f} ns/idx", flush=True)
+        del src, r, uids
     return 0
 
 
