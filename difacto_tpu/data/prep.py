@@ -194,12 +194,13 @@ _COLD_GRAN = 2048
 
 
 def _pack_localized_split(
-    uids, inv, counts, has_sentinel, n_real, num_rows, hot_rows,
-    buckets, min_ub,
+    uids, inv, counts, n_real, num_rows, hot_rows, buckets, min_ub,
 ):
     """Split-pack one batch's sorted uniques into [hot-prefix | cold]
     buckets (see PreppedBatch.uids_hot). Returns
-    (uids, counts, inv, valid, ch)."""
+    (uids, counts, inv, valid, ch). A sentinel entry (position n_real)
+    needs no special case: its shifted position lands on the first cold
+    pad, which is an invalid junk lane by construction (cc > n_cold)."""
     n_hot = int(np.searchsorted(uids[:n_real], hot_rows, side="left"))
     n_cold = n_real - n_hot
     # the junk lane (sentinel/padding slots) always lives in the cold pad
@@ -257,8 +258,7 @@ def prep_batch(
     uids, inv, counts, has_sentinel, n_real = _localize_ids(ids, num_rows)
     if remap is not None:
         u_out, c_out, inv, valid, ch = _pack_localized_split(
-            uids, inv, counts, has_sentinel, n_real, num_rows, hot_rows,
-            buckets, min_ub,
+            uids, inv, counts, n_real, num_rows, hot_rows, buckets, min_ub,
         )
         return PreppedBatch(
             vals=batch.vals,
